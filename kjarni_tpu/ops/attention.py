@@ -1,0 +1,69 @@
+"""Scaled dot-product attention (XLA path) with GQA support.
+
+Rebuild of the reference attention blocks (cpu/attention/multi_head_attention,
+cpu/decoder/decoder_attention.rs, gpu_ops/blocks/attention/*). On TPU the whole
+block — QK^T, bias add, softmax, PV — is a handful of einsums XLA fuses and tiles
+onto the MXU; GQA is expressed by reshaping query heads into groups so no
+repeat_kv materialisation happens (the reference needed an explicit repeat_kv
+kernel, gpu_ops/primitives/repeat_kv).
+
+A fused Pallas flash-attention kernel (ops/pallas/flash_attention.py) replaces
+this path for long sequences.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None,
+              scale: Optional[float] = None) -> jnp.ndarray:
+    """Attention over [B, Hq, S, D] queries and [B, Hkv, T, D] keys/values.
+
+    `bias` broadcasts against [B, Hq, S, T]. Softmax runs in float32 for
+    stability/parity, output is cast back to q.dtype.
+    """
+    B, Hq, S, D = q.shape
+    Hkv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+
+    if Hq == Hkv:
+        scores = jnp.einsum("bhsd,bhtd->bhst", q, k, preferred_element_type=jnp.float32)
+        scores = scores * scale
+        if bias is not None:
+            scores = scores + bias.astype(scores.dtype)
+        probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        out = jnp.einsum("bhst,bhtd->bhsd", probs.astype(q.dtype), v)
+        return out
+
+    # GQA: fold query heads into [Hkv, group] so each kv head serves its group
+    # without materialising repeated K/V.
+    group = Hq // Hkv
+    qg = q.reshape(B, Hkv, group, S, D)
+    scores = jnp.einsum("bkgsd,bktd->bkgst", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        bias4 = jnp.broadcast_to(bias.astype(scores.dtype),
+                                 (B, Hq, S, scores.shape[-1]))
+        scores = scores + bias4.reshape(B, Hkv, group, S, -1)
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("bkgst,bktd->bkgsd", probs.astype(q.dtype), v)
+    return out.reshape(B, Hq, S, D)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, S, H*D] -> [B, H, S, D]"""
+    B, S, HD = x.shape
+    return x.reshape(B, S, num_heads, HD // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, S, D] -> [B, S, H*D]"""
+    B, H, S, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * D)
