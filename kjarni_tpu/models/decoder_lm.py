@@ -1,0 +1,223 @@
+"""DecoderLM: a loaded autoregressive language model with a streaming generator.
+
+Rebuild of the reference decoder generation stack: DecoderGenerator
+(kjarni-transformers/src/decoder/generator.rs:20), the backend dispatch
+(decoder/backend.rs:15), and run_generation_loop (generator.rs:228).
+
+TPU design: two jitted programs per model —
+  * prefill: [1, S_bucket] prompt forward writing the KV cache, logits at the
+    last real token;
+  * decode step: penalties + sampling + single-token forward FUSED into one
+    device dispatch, with the KV cache and history buffer donated so XLA
+    updates them in place.
+The host loop only does: one int sync per token (the sampled id), stop checks,
+and incremental detokenization — the reference's mpsc-channel machinery
+(generator.rs:193-225) reduces to a Python generator.
+"""
+
+from __future__ import annotations
+
+import json
+import random as _random
+from functools import partial
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bucketing import seq_bucket
+from ..core.cancellation import CancellationToken
+from ..core.errors import GenerationError, InvalidConfigError
+from ..core.stats import GenerationStats
+from ..chat_templates import ChatTemplate, Conversation, template_for_arch
+from ..generate.sampling import (GenerationConfig, process_logits, sample_token)
+from ..generate.stream import StreamDecoder, StreamedToken, TokenType
+from ..tokenizer import KjarniTokenizer
+from ..weights.safetensors_loader import ModelWeights
+from . import gpt2 as kgpt2
+from . import llama as kllama
+
+DEFAULT_MAX_CONTEXT = 4096
+
+
+class DecoderLM:
+    """A causal LM ready for generation (cf. DecoderLanguageModel traits.rs:272)."""
+
+    def __init__(self, model_dir: Path, dtype=np.float32,
+                 max_context: Optional[int] = None):
+        model_dir = Path(model_dir)
+        self.model_dir = model_dir
+        hf_cfg = json.loads((model_dir / "config.json").read_text())
+        self.hf_config = hf_cfg
+        mt = hf_cfg.get("model_type", "llama")
+        ws = ModelWeights(model_dir)
+
+        if mt in ("gpt2",):
+            self.family = kgpt2
+            self.config = kgpt2.Gpt2Config.from_hf(hf_cfg)
+        else:
+            self.family = kllama
+            self.config = kllama.DecoderConfig.from_hf(hf_cfg)
+        cfg = self.config
+
+        self.max_context = min(cfg.max_seq_len, max_context or DEFAULT_MAX_CONTEXT)
+        if self.family is kllama:
+            params = kllama.load_params(ws, cfg, dtype, rope_cache_len=self.max_context)
+        else:
+            params = kgpt2.load_params(ws, cfg, dtype)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self._cache_dtype = dtype
+        self._cache = None  # allocated lazily, reused across generations
+
+        self.tokenizer = KjarniTokenizer.from_file(model_dir / "tokenizer.json")
+        self.chat_template: ChatTemplate = template_for_arch(cfg.arch)
+
+        # stop tokens: generation_config.json eos wins over config.json
+        eos: tuple[int, ...] = tuple(cfg.eos_token_ids)
+        gen_cfg_path = model_dir / "generation_config.json"
+        self.hf_generation_config: dict = {}
+        if gen_cfg_path.exists():
+            self.hf_generation_config = json.loads(gen_cfg_path.read_text())
+            g_eos = self.hf_generation_config.get("eos_token_id")
+            if g_eos is not None:
+                eos = tuple(g_eos) if isinstance(g_eos, list) else (int(g_eos),)
+        self.stop_token_ids = set(eos)
+        self.bos_token_id = cfg.bos_token_id
+
+        fwd = self.family.forward
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def _prefill(params, ck, cv, ids, last_idx):
+            logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0, last_idx)
+            return logits[0], ck, cv
+
+        self._prefill = _prefill
+        self._steps: dict = {}
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _ensure_cache(self):
+        if self._cache is None:
+            self._cache = self.family.init_cache(
+                self.config, 1, self.max_context, self._cache_dtype)
+        return self._cache
+
+    def _step_fn(self, gen: GenerationConfig):
+        key = (gen.strategy, gen.sampling, gen.repetition_penalty,
+               gen.no_repeat_ngram_size)
+        fn = self._steps.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.config
+        fwd = self.family.forward
+        greedy = gen.strategy == "greedy"
+        sp = gen.sampling
+        pen, ngram = gen.repetition_penalty, gen.no_repeat_ngram_size
+
+        @partial(jax.jit, donate_argnums=(1, 2, 4))
+        def step(params, ck, cv, logits, history, hist_len, rng):
+            lg = process_logits(logits, history, hist_len, pen, ngram)
+            rng, sub = jax.random.split(rng)
+            tok = sample_token(lg, sub, sp, greedy)
+            history = history.at[hist_len].set(tok, mode="drop")
+            new_logits, ck, cv = fwd(params, cfg, tok[None, None], ck, cv, hist_len)
+            return tok, new_logits[0], ck, cv, history, rng
+
+        self._steps[key] = step
+        return step
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def encode_prompt(self, prompt: str, add_bos: bool = True) -> list[int]:
+        ids = self.tokenizer.encode(prompt, add_special_tokens=False)
+        if add_bos and self.bos_token_id is not None and \
+                (not ids or ids[0] != self.bos_token_id) and \
+                self.config.arch in ("llama", "mistral"):
+            ids = [self.bos_token_id] + ids
+        return ids
+
+    def apply_chat_template(self, conversation: Conversation) -> str:
+        return self.chat_template.apply(conversation)
+
+    def generate_stream(self, prompt: Optional[str] = None, *,
+                        token_ids: Optional[Sequence[int]] = None,
+                        config: Optional[GenerationConfig] = None,
+                        cancellation: Optional[CancellationToken] = None,
+                        emit_prompt: bool = False,
+                        stats: Optional[GenerationStats] = None,
+                        ) -> Iterator[StreamedToken]:
+        """Token-streaming generation (cf. generator.rs:183,228)."""
+        gen = config or GenerationConfig()
+        if token_ids is None:
+            if prompt is None:
+                raise GenerationError("either prompt or token_ids is required")
+            token_ids = self.encode_prompt(prompt, gen.add_bos_token)
+        ids = list(token_ids)[: self.max_context - 1]
+        if not ids:
+            raise GenerationError("empty prompt")
+        prompt_len = len(ids)
+
+        stats = stats or GenerationStats()
+        stats.start()
+
+        ck, cv = self._ensure_cache()
+        bucket = seq_bucket(prompt_len, self.max_context)
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :prompt_len] = ids
+        logits, ck, cv = self._prefill(self.params, ck, cv, jnp.asarray(padded),
+                                       prompt_len - 1)
+        stats.mark_prefill(prompt_len)
+
+        if emit_prompt:
+            for t in ids:
+                yield StreamedToken(self.tokenizer.decode([t], False), t,
+                                    TokenType.PROMPT)
+
+        history = np.zeros(self.max_context, dtype=np.int32)
+        history[:prompt_len] = ids
+        history = jnp.asarray(history)
+        hist_len = prompt_len
+
+        seed = gen.seed if gen.seed is not None else _random.getrandbits(31)
+        rng = jax.random.PRNGKey(seed)
+        step = self._step_fn(gen)
+
+        max_new = gen.max_new_tokens if gen.max_new_tokens is not None else \
+            max(gen.max_length - prompt_len, 0)
+        sdec = StreamDecoder(self.tokenizer)
+        n_generated = 0
+        try:
+            for _ in range(max_new):
+                if cancellation is not None and cancellation.is_cancelled:
+                    break
+                if hist_len >= self.max_context or hist_len >= gen.max_length:
+                    break
+                tok, logits, ck, cv, history, rng = step(
+                    self.params, ck, cv, logits, history,
+                    jnp.int32(hist_len), rng)
+                t = int(tok)
+                if t in self.stop_token_ids:
+                    break
+                hist_len += 1
+                n_generated += 1
+                text = sdec.push(t)
+                yield StreamedToken(text, t, TokenType.GENERATED)
+        finally:
+            self._cache = (ck, cv)
+            stats.mark_decode_done(n_generated)
+            stats.print_summary()
+
+    def generate(self, prompt: Optional[str] = None, *,
+                 token_ids: Optional[Sequence[int]] = None,
+                 config: Optional[GenerationConfig] = None,
+                 cancellation: Optional[CancellationToken] = None) -> str:
+        """Blocking generation returning the full completion."""
+        parts = [st.text for st in self.generate_stream(
+            prompt, token_ids=token_ids, config=config, cancellation=cancellation)]
+        return "".join(parts)

@@ -1,0 +1,318 @@
+"""Unified GQA+RoPE+RMSNorm+SwiGLU decoder: Llama / Qwen2 / Mistral / Phi-3.
+
+Rebuild of the reference decoder stack (kjarni-transformers/src/cpu/decoder/
+rope_decoder_layer.rs:12, decoder_attention.rs:8, gqa_projection.rs:8) and the
+per-arch model crates (kjarni-models/src/models/{llama,qwen,mistral}/*,
+llama/cpu_decoder.rs:12). One frozen config + one pure forward covers all four
+architectures; the differences are data (qkv bias for Qwen2, fused projections
+for Phi-3 split at load, sliding-window mask for Mistral, rope scaling for
+Llama-3/Phi-3).
+
+TPU design: stacked layer params under `lax.scan`, a fixed-shape KV cache
+updated with `dynamic_update_slice` (donated across decode steps), and a single
+`forward` used for both prefill (S = prompt bucket) and decode (S = 1) so XLA
+compiles exactly two programs per model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.errors import InvalidConfigError
+from ..core.metadata import RopeScaling
+from ..ops.attention import attention, merge_heads, split_heads
+from ..ops.masks import NEG_INF
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, base_inv_freq, llama3_inv_freq
+from ..weights.safetensors_loader import ModelWeights
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    arch: str  # "llama" | "qwen2" | "mistral" | "phi3"
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    max_seq_len: int
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[RopeScaling] = None
+    # phi3 longrope factors (tuples so the config stays hashable)
+    longrope_short_factor: Optional[tuple[float, ...]] = None
+    longrope_long_factor: Optional[tuple[float, ...]] = None
+    original_max_seq_len: Optional[int] = None
+    qkv_bias: bool = False
+    sliding_window: Optional[int] = None
+    tie_word_embeddings: bool = False
+    bos_token_id: Optional[int] = None
+    eos_token_ids: tuple[int, ...] = ()
+
+    @staticmethod
+    def from_hf(cfg: dict) -> "DecoderConfig":
+        mt = cfg.get("model_type", "llama")
+        archs = {"llama": "llama", "qwen2": "qwen2", "mistral": "mistral",
+                 "phi3": "phi3"}
+        if mt not in archs:
+            raise InvalidConfigError(f"unsupported decoder model_type '{mt}'")
+        head_dim = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
+        rope_scaling = None
+        short = long = None
+        orig = None
+        rs = cfg.get("rope_scaling")
+        if rs:
+            rtype = rs.get("rope_type", rs.get("type", ""))
+            if rtype == "llama3":
+                rope_scaling = RopeScaling(
+                    rope_type="llama3",
+                    factor=rs.get("factor", 32.0),
+                    low_freq_factor=rs.get("low_freq_factor", 1.0),
+                    high_freq_factor=rs.get("high_freq_factor", 4.0),
+                    original_max_position_embeddings=rs.get(
+                        "original_max_position_embeddings", 8192),
+                )
+            elif rtype in ("longrope", "su"):
+                short = tuple(float(x) for x in rs["short_factor"])
+                long = tuple(float(x) for x in rs["long_factor"])
+                orig = cfg.get("original_max_position_embeddings",
+                               cfg["max_position_embeddings"])
+        eos = cfg.get("eos_token_id")
+        if eos is None:
+            eos_ids: tuple[int, ...] = ()
+        elif isinstance(eos, list):
+            eos_ids = tuple(int(e) for e in eos)
+        else:
+            eos_ids = (int(eos),)
+        return DecoderConfig(
+            arch=archs[mt],
+            vocab_size=cfg["vocab_size"],
+            hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"],
+            num_heads=cfg["num_attention_heads"],
+            num_kv_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+            head_dim=head_dim,
+            intermediate_size=cfg["intermediate_size"],
+            max_seq_len=cfg["max_position_embeddings"],
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            rope_scaling=rope_scaling,
+            longrope_short_factor=short,
+            longrope_long_factor=long,
+            original_max_seq_len=orig,
+            qkv_bias=mt == "qwen2",
+            sliding_window=(cfg.get("sliding_window")
+                            if cfg.get("use_sliding_window", mt == "mistral") else None),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            bos_token_id=cfg.get("bos_token_id"),
+            eos_token_ids=eos_ids,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+def _t(ws: ModelWeights, name: str, dtype) -> np.ndarray:
+    return np.asarray(ws.get(name), dtype=np.float32).T.astype(dtype)
+
+
+def _stack(ws: ModelWeights, fmt: str, L: int, dtype, transpose=True) -> np.ndarray:
+    if transpose:
+        return np.stack([_t(ws, fmt.format(i), dtype) for i in range(L)])
+    return np.stack(
+        [np.asarray(ws.get(fmt.format(i)), dtype=np.float32).astype(dtype)
+         for i in range(L)])
+
+
+def load_params(ws: ModelWeights, cfg: DecoderConfig, dtype=np.float32,
+                rope_cache_len: Optional[int] = None) -> dict:
+    """Map HF llama-layout checkpoints into the stacked pytree.
+
+    Phi-3's fused qkv_proj / gate_up_proj (kjarni registry: Phi3 LongRoPE) are
+    split here so one forward serves every arch.
+    """
+    L = cfg.num_layers
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    p = "model."
+
+    def lin_stack(names_fmt, bias_fmt=None):
+        out = {"w": _stack(ws, names_fmt, L, dtype)}
+        if bias_fmt and f"{bias_fmt.format(0)}" in ws:
+            out["b"] = _stack(ws, bias_fmt, L, dtype, transpose=False)
+        return out
+
+    if cfg.arch == "phi3":
+        qkv = _stack(ws, p + "layers.{}.self_attn.qkv_proj.weight", L, dtype)
+        q_dim = H * D
+        kv_dim = Hkv * D
+        q = {"w": qkv[:, :, :q_dim]}
+        k = {"w": qkv[:, :, q_dim:q_dim + kv_dim]}
+        v = {"w": qkv[:, :, q_dim + kv_dim:]}
+        gate_up = _stack(ws, p + "layers.{}.mlp.gate_up_proj.weight", L, dtype)
+        gate = {"w": gate_up[:, :, :cfg.intermediate_size]}
+        up = {"w": gate_up[:, :, cfg.intermediate_size:]}
+    else:
+        q = lin_stack(p + "layers.{}.self_attn.q_proj.weight",
+                      p + "layers.{}.self_attn.q_proj.bias")
+        k = lin_stack(p + "layers.{}.self_attn.k_proj.weight",
+                      p + "layers.{}.self_attn.k_proj.bias")
+        v = lin_stack(p + "layers.{}.self_attn.v_proj.weight",
+                      p + "layers.{}.self_attn.v_proj.bias")
+        gate = lin_stack(p + "layers.{}.mlp.gate_proj.weight")
+        up = lin_stack(p + "layers.{}.mlp.up_proj.weight")
+
+    layers = {
+        "q": q, "k": k, "v": v,
+        "o": lin_stack(p + "layers.{}.self_attn.o_proj.weight"),
+        "gate": gate, "up": up,
+        "down": lin_stack(p + "layers.{}.mlp.down_proj.weight"),
+        "attn_norm": _stack(ws, p + "layers.{}.input_layernorm.weight", L, dtype,
+                            transpose=False),
+        "ffn_norm": _stack(ws, p + "layers.{}.post_attention_layernorm.weight", L,
+                           dtype, transpose=False),
+    }
+    embed = np.asarray(ws.get(p + "embed_tokens.weight"), dtype=np.float32).astype(dtype)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in ws:
+        lm_head = embed.T
+    else:
+        lm_head = _t(ws, "lm_head.weight", dtype)
+    cos, sin = rope_cache(cfg, rope_cache_len, dtype=np.float32)
+    return {
+        "embed": embed,
+        "layers": layers,
+        "final_norm": np.asarray(ws.get(p + "norm.weight"), dtype=np.float32).astype(dtype),
+        "lm_head": lm_head,
+        "rope_cos": cos,
+        "rope_sin": sin,
+    }
+
+
+def rope_cache(cfg: DecoderConfig, length: Optional[int] = None,
+               dtype=np.float32) -> tuple[np.ndarray, np.ndarray]:
+    """Precompute cos/sin tables, honoring llama3 and phi3-longrope scaling."""
+    length = length or cfg.max_seq_len
+    D = cfg.head_dim
+    attn_factor = 1.0
+    if cfg.longrope_short_factor is not None:
+        # Phi-3 LongRoPE: per-frequency factors; use short factors for contexts
+        # within the original window (HF Phi3 chooses by seq length; decode
+        # caches are sized by max_seq_len so we pick by cache length).
+        orig = cfg.original_max_seq_len or cfg.max_seq_len
+        factors = np.asarray(
+            cfg.longrope_long_factor if length > orig else cfg.longrope_short_factor,
+            dtype=np.float64)
+        inv = base_inv_freq(D, cfg.rope_theta).astype(np.float64) / factors
+        scale = length / orig if orig else 1.0
+        if scale > 1.0:
+            attn_factor = float(np.sqrt(1.0 + np.log(scale) / np.log(orig)))
+    elif cfg.rope_scaling is not None:
+        inv = llama3_inv_freq(D, cfg.rope_theta, cfg.rope_scaling).astype(np.float64)
+    else:
+        inv = base_inv_freq(D, cfg.rope_theta).astype(np.float64)
+    pos = np.arange(length, dtype=np.float64)
+    angles = np.outer(pos, inv)
+    cos = np.concatenate([np.cos(angles), np.cos(angles)], axis=-1) * attn_factor
+    sin = np.concatenate([np.sin(angles), np.sin(angles)], axis=-1) * attn_factor
+    return cos.astype(dtype), sin.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
+               dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fixed-shape per-layer KV cache (cf. cache/cpu.rs:11 CpuKVCache)."""
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
+               cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start):
+    """Embed -> scanned layer stack -> final norm. Shared by prefill/decode."""
+    B, S = ids.shape
+    T = cache_k.shape[3]
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = jnp.take(params["embed"], ids, axis=0)
+
+    positions = pos_start + jnp.arange(S)
+    cos = jnp.take(params["rope_cos"], positions, axis=0)
+    sin = jnp.take(params["rope_sin"], positions, axis=0)
+
+    # causal bias over the whole cache: query at pos_start+i sees kv j <= that
+    qi = positions[:, None]
+    kj = jnp.arange(T)[None, :]
+    bias = jnp.where(kj <= qi, 0.0, NEG_INF)
+    if cfg.sliding_window:
+        bias = jnp.where(kj > qi - cfg.sliding_window, bias, NEG_INF)
+    bias = bias[None, None, :, :]  # [1, 1, S, T]
+
+    def layer_fn(h, xs):
+        lp, kc, vc = xs
+        hn = rms_norm(h, lp["attn_norm"], cfg.rms_norm_eps)
+        q = hn @ lp["q"]["w"]
+        if "b" in lp["q"]:
+            q = q + lp["q"]["b"]
+        k = hn @ lp["k"]["w"]
+        if "b" in lp["k"]:
+            k = k + lp["k"]["b"]
+        v = hn @ lp["v"]["w"]
+        if "b" in lp["v"]:
+            v = v + lp["v"]["b"]
+        q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+        # tables were pre-gathered at `positions`, so index them 0..S here
+        q, k = apply_rope(q, k, cos, sin, jnp.arange(S))
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos_start, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos_start, 0))
+        ctx = merge_heads(attention(q, kc, vc, bias))
+        h = h + ctx @ lp["o"]["w"]
+        hn = rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
+        ffn = (jax.nn.silu(hn @ lp["gate"]["w"]) * (hn @ lp["up"]["w"])) @ lp["down"]["w"]
+        return h + ffn, (kc, vc)
+
+    x, (cache_k, cache_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache_k, cache_v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, cache_k, cache_v
+
+
+def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
+            cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start: jnp.ndarray,
+            last_idx: Optional[jnp.ndarray] = None):
+    """One decoder pass, shared by prefill and decode.
+
+    ids: [B, S] tokens whose absolute positions are pos_start + arange(S).
+    K/V for these tokens are written into the cache at those positions; queries
+    attend causally over cache[0 .. pos_start+S). Returns (logits, cache_k,
+    cache_v) where logits are taken at `last_idx` (default S-1).
+
+    Padding discipline: garbage K/V beyond the true prompt length is never
+    attended — decode steps overwrite slot p before any query reaches p.
+    """
+    x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v, pos_start)
+    if last_idx is None:
+        last_idx = ids.shape[1] - 1
+    last = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)
+    return last @ params["lm_head"], cache_k, cache_v
+
+
+def forward_all_logits(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
+                       cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start):
+    """Like forward() but returns logits at every position (parity tests,
+    speculative verification)."""
+    x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v, pos_start)
+    return x @ params["lm_head"], cache_k, cache_v

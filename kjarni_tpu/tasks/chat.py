@@ -1,0 +1,100 @@
+"""Chat task API — conversation state + templated generation.
+
+Rebuild of kjarni/src/chat (model.rs:47: send :229, stream :275, conversation
+:320; one-liner chat::send :421).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Optional
+
+from ..chat_templates import Conversation
+from ..core.cancellation import CancellationToken
+from ..generate.sampling import GenerationConfig
+from ..generate.stream import StreamedToken
+from ..models.decoder_lm import DecoderLM
+from ..registry import ModelTask
+from .common import Device, DownloadPolicy, resolve_model_dir
+from .generator import resolve_generation_config
+
+_CHAT_TASKS = (ModelTask.CHAT, ModelTask.REASONING)
+
+
+class Chat:
+    """Stateful chat over an instruct model (cf. chat/model.rs:47)."""
+
+    def __init__(self, model: str = "qwen2.5-0.5b-instruct", *,
+                 system_prompt: Optional[str] = None,
+                 device: Device | str | None = None,
+                 cache_dir: Optional[Path] = None,
+                 max_context: Optional[int] = None,
+                 offline: bool = False,
+                 quiet: bool = False):
+        self.device = Device.resolve(device)
+        policy = DownloadPolicy.OFFLINE if offline else DownloadPolicy.ALLOW
+        model_dir, info = resolve_model_dir(
+            model, cache_dir, policy, quiet, _CHAT_TASKS, "chat")
+        self.model_info = info
+        self.model_id = info.cli_name if info else str(model)
+        self._lm = DecoderLM(model_dir, max_context=max_context)
+        if system_prompt is None:
+            system_prompt = self._lm.chat_template.default_system_prompt()
+        self._conversation = (Conversation.with_system(system_prompt)
+                              if system_prompt else Conversation())
+
+    @property
+    def lm(self) -> DecoderLM:
+        return self._lm
+
+    @property
+    def conversation(self) -> Conversation:
+        return self._conversation
+
+    def clear_history(self, keep_system: bool = True) -> None:
+        self._conversation.clear(keep_system)
+
+    def send(self, message: str, *, preset: Optional[str] = None,
+             config: Optional[GenerationConfig] = None,
+             cancellation: Optional[CancellationToken] = None,
+             **overrides) -> str:
+        """Send a message, append the reply to history, return the reply."""
+        parts = [st.text for st in self.stream(
+            message, preset=preset, config=config, cancellation=cancellation,
+            **overrides)]
+        return "".join(parts)
+
+    def stream(self, message: str, *, preset: Optional[str] = None,
+               config: Optional[GenerationConfig] = None,
+               cancellation: Optional[CancellationToken] = None,
+               **overrides) -> Iterator[StreamedToken]:
+        """Streaming send (cf. chat/model.rs:275). History updates on completion."""
+        cfg = resolve_generation_config(preset, config, **overrides)
+        self._conversation.push_user(message)
+        prompt = self._lm.apply_chat_template(self._conversation)
+        # template already contains BOS where needed
+        import dataclasses
+        cfg = dataclasses.replace(cfg, add_bos_token=False)
+        token_ids = self._lm.tokenizer.encode(prompt, add_special_tokens=False)
+
+        collected: list[str] = []
+
+        def _run():
+            stop_seqs = self._lm.chat_template.stop_sequences()
+            for st in self._lm.generate_stream(
+                    token_ids=token_ids, config=cfg, cancellation=cancellation):
+                text = st.text
+                # template stop sequences are usually special tokens already
+                # filtered by the stream decoder; guard anyway
+                if any(s in text for s in stop_seqs):
+                    break
+                collected.append(text)
+                yield st
+            self._conversation.push_assistant("".join(collected).strip())
+
+        return _run()
+
+
+def chat_send(message: str, model: str = "qwen2.5-0.5b-instruct") -> str:
+    """One-liner (cf. kjarni/src/lib.rs:106 chat_send)."""
+    return Chat(model).send(message)

@@ -1,0 +1,76 @@
+"""Generator task API — raw LLM text generation.
+
+Rebuild of kjarni/src/generator (model.rs:28,217,256): generate / generate_stream
+over any registry decoder model or local checkpoint.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Optional
+
+from ..core.cancellation import CancellationToken
+from ..generate.sampling import GenerationConfig, SamplingParams
+from ..generate.stream import StreamedToken
+from ..models.decoder_lm import DecoderLM
+from ..registry import ModelTask
+from .common import Device, DownloadPolicy, resolve_model_dir
+
+_GENERATOR_TASKS = (ModelTask.CHAT, ModelTask.REASONING, ModelTask.GENERATION)
+
+# Generation presets (cf. kjarni/src/generation/overrides.rs:48-67)
+PRESETS: dict[str, GenerationConfig] = {
+    "greedy": GenerationConfig(strategy="greedy"),
+    "creative": GenerationConfig(strategy="sample", sampling=SamplingParams(
+        temperature=1.0, top_k=None, top_p=0.95, min_p=None)),
+    "precise": GenerationConfig(strategy="sample", sampling=SamplingParams(
+        temperature=0.3, top_k=20, top_p=0.9, min_p=None)),
+    "balanced": GenerationConfig(),
+}
+
+
+def resolve_generation_config(preset: Optional[str] = None,
+                              config: Optional[GenerationConfig] = None,
+                              **overrides) -> GenerationConfig:
+    """preset -> config -> explicit overrides, later wins (resolution.rs:10)."""
+    base = config or (PRESETS[preset] if preset else GenerationConfig())
+    if overrides:
+        import dataclasses
+        base = dataclasses.replace(base, **overrides)
+    return base
+
+
+class Generator:
+    """Raw text generation task (cf. generator/model.rs:28)."""
+
+    def __init__(self, model: str = "qwen2.5-0.5b-instruct", *,
+                 device: Device | str | None = None,
+                 cache_dir: Optional[Path] = None,
+                 max_context: Optional[int] = None,
+                 offline: bool = False,
+                 quiet: bool = False):
+        self.device = Device.resolve(device)
+        policy = DownloadPolicy.OFFLINE if offline else DownloadPolicy.ALLOW
+        model_dir, info = resolve_model_dir(
+            model, cache_dir, policy, quiet, _GENERATOR_TASKS, "generation")
+        self.model_info = info
+        self.model_id = info.cli_name if info else str(model)
+        self._lm = DecoderLM(model_dir, max_context=max_context)
+
+    @property
+    def lm(self) -> DecoderLM:
+        return self._lm
+
+    def generate(self, prompt: str, *, preset: Optional[str] = None,
+                 config: Optional[GenerationConfig] = None,
+                 cancellation: Optional[CancellationToken] = None,
+                 **overrides) -> str:
+        cfg = resolve_generation_config(preset, config, **overrides)
+        return self._lm.generate(prompt, config=cfg, cancellation=cancellation)
+
+    def generate_stream(self, prompt: str, *, preset: Optional[str] = None,
+                        config: Optional[GenerationConfig] = None,
+                        cancellation: Optional[CancellationToken] = None,
+                        **overrides) -> Iterator[StreamedToken]:
+        cfg = resolve_generation_config(preset, config, **overrides)
+        return self._lm.generate_stream(prompt, config=cfg, cancellation=cancellation)

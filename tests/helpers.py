@@ -45,6 +45,14 @@ def save_torch_model(model_dir: Path, model, config) -> None:
     from safetensors.torch import save_file
     model_dir.mkdir(parents=True, exist_ok=True)
     sd = {k: v.contiguous() for k, v in model.state_dict().items()}
+    # drop aliases of shared tensors (HF omits tied lm_head.weight on disk too)
+    seen_ptrs = {}
+    for k in list(sd):
+        ptr = sd[k].data_ptr()
+        if ptr in seen_ptrs and sd[k].shape == sd[seen_ptrs[ptr]].shape:
+            del sd[k]
+        else:
+            seen_ptrs[ptr] = k
     save_file(sd, str(model_dir / "model.safetensors"))
     (model_dir / "config.json").write_text(json.dumps(config.to_dict()))
 

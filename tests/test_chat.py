@@ -1,0 +1,127 @@
+"""Chat/Generator task tests + chat template formats (cf. chat/*.rs tests)."""
+
+import pytest
+import torch
+
+from helpers import build_word_tokenizer, save_torch_model
+
+from kjarni_tpu.chat_templates import (ChatMLTemplate, Conversation,
+                                       Llama3ChatTemplate, MistralChatTemplate,
+                                       Message, Phi3ChatTemplate, RawTemplate)
+from kjarni_tpu.tasks.chat import Chat
+from kjarni_tpu.tasks.generator import Generator, resolve_generation_config
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+    d = tmp_path_factory.mktemp("llama_chat")
+    vocab_map = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+    config = LlamaConfig(vocab_size=len(vocab_map), hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=128, bos_token_id=2,
+                         eos_token_id=3, tie_word_embeddings=False)
+    torch.manual_seed(11)
+    model = LlamaForCausalLM(config).eval()
+    save_torch_model(d, model, config)
+    return d
+
+
+class TestTemplates:
+    def test_llama3_format(self):
+        t = Llama3ChatTemplate()
+        conv = Conversation([Message.user("Hello")])
+        p = t.apply(conv)
+        assert p.startswith("<|begin_of_text|>")
+        assert "<|start_header_id|>user<|end_header_id|>\n\nHello<|eot_id|>" in p
+        assert p.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+    def test_chatml_format(self):
+        t = ChatMLTemplate()
+        conv = Conversation([Message.system("sys"), Message.user("hi")])
+        p = t.apply(conv)
+        assert p == ("<|im_start|>system\nsys<|im_end|>\n"
+                     "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\n")
+
+    def test_mistral_single_user(self):
+        t = MistralChatTemplate()
+        p = t.apply(Conversation([Message.user("Hello there")]))
+        assert p == "<s>[INST] Hello there [/INST]"
+
+    def test_mistral_with_system(self):
+        t = MistralChatTemplate()
+        conv = Conversation([Message.system("You are a helpful assistant."),
+                             Message.user("What is 2 + 2?")])
+        assert t.apply(conv) == \
+            "<s>[INST] You are a helpful assistant.\n\nWhat is 2 + 2? [/INST]"
+
+    def test_mistral_multi_turn(self):
+        t = MistralChatTemplate()
+        conv = Conversation([Message.system("Assistant is friendly."),
+                             Message.user("Hello!"),
+                             Message.assistant("Hi there!"),
+                             Message.user("How are you?"),
+                             Message.assistant("I'm good, thank you!")])
+        assert t.apply(conv) == ("<s>[INST] Assistant is friendly.\n\nHello! [/INST]"
+                                 " Hi there!</s>[INST] How are you? [/INST]"
+                                 " I'm good, thank you!</s>")
+
+    def test_phi3_format(self):
+        t = Phi3ChatTemplate()
+        p = t.apply(Conversation([Message.user("hi")]))
+        assert p == "<|user|>\nhi<|end|>\n<|assistant|>\n"
+
+    def test_raw_template(self):
+        t = RawTemplate()
+        assert t.apply(Conversation([Message.user("a"), Message.assistant("b")])) \
+            == "a\nb"
+
+    def test_conversation_helpers(self):
+        c = Conversation.with_system("sys")
+        c.push_user("u1")
+        c.push_assistant("a1")
+        assert c.system_prompt == "sys"
+        assert c.turn_count() == 2
+        c.clear(keep_system=True)
+        assert len(c) == 1 and c.system_prompt == "sys"
+        c.clear(keep_system=False)
+        assert len(c) == 0
+
+
+class TestChatTask:
+    def test_send_appends_history(self, llama_dir):
+        chat = Chat(str(llama_dir), system_prompt="be brief", max_context=64)
+        reply = chat.send("hello world", preset="greedy", max_new_tokens=4,
+                          max_length=64)
+        assert isinstance(reply, str)
+        msgs = chat.conversation.messages
+        assert msgs[0].role.value == "system"
+        assert msgs[1].role.value == "user" and msgs[1].content == "hello world"
+        assert msgs[2].role.value == "assistant"
+
+    def test_multi_turn_grows_history(self, llama_dir):
+        chat = Chat(str(llama_dir), system_prompt=None, max_context=64)
+        chat.send("hello", preset="greedy", max_new_tokens=2, max_length=64)
+        chat.send("world", preset="greedy", max_new_tokens=2, max_length=64)
+        assert chat.conversation.turn_count() == 4
+
+    def test_clear_history(self, llama_dir):
+        chat = Chat(str(llama_dir), system_prompt="s", max_context=64)
+        chat.send("hello", preset="greedy", max_new_tokens=2, max_length=64)
+        chat.clear_history()
+        assert len(chat.conversation) == 1
+
+
+class TestGeneratorTask:
+    def test_generate(self, llama_dir):
+        g = Generator(str(llama_dir), max_context=64)
+        out = g.generate("hello world", preset="greedy", max_new_tokens=4,
+                         max_length=64)
+        assert isinstance(out, str)
+
+    def test_presets_resolution(self):
+        cfg = resolve_generation_config("greedy", max_new_tokens=7)
+        assert cfg.strategy == "greedy" and cfg.max_new_tokens == 7
+        cfg2 = resolve_generation_config("creative")
+        assert cfg2.sampling.temperature == 1.0

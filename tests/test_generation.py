@@ -1,0 +1,138 @@
+"""Generation-loop tests (SURVEY §4 "mock-model loop tests" tier): DecoderLM
+greedy output vs HF generate, streaming, cancellation, stop tokens."""
+
+import json
+
+import numpy as np
+import pytest
+import torch
+
+from helpers import build_word_tokenizer, save_torch_model
+
+from kjarni_tpu.core.cancellation import CancellationToken
+from kjarni_tpu.generate.sampling import GenerationConfig, SamplingParams
+from kjarni_tpu.generate.stream import TokenType
+from kjarni_tpu.models.decoder_lm import DecoderLM
+
+
+@pytest.fixture(scope="module")
+def llama_dir(tmp_path_factory):
+    from transformers import LlamaConfig, LlamaForCausalLM
+    d = tmp_path_factory.mktemp("llama_lm")
+    vocab_map = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+    config = LlamaConfig(vocab_size=len(vocab_map), hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=128, bos_token_id=2,
+                         eos_token_id=3, tie_word_embeddings=False)
+    torch.manual_seed(7)
+    model = LlamaForCausalLM(config).eval()
+    save_torch_model(d, model, config)
+    return d, model
+
+
+class TestGreedyParity:
+    def test_matches_hf_generate(self, llama_dir):
+        d, model = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        prompt = "hello world the doctor"
+        ids = lm.encode_prompt(prompt, add_bos=True)
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor([ids]), max_new_tokens=10, do_sample=False,
+                eos_token_id=3, pad_token_id=0)
+        expected = hf_out[0, len(ids):].tolist()
+
+        tokens = [st.id for st in lm.generate_stream(
+            prompt, config=GenerationConfig.greedy(max_new_tokens=10, max_length=64))]
+        # HF stops at EOS including it; ours stops before yielding EOS
+        if 3 in expected:
+            expected = expected[:expected.index(3)]
+        assert tokens == expected
+
+
+class TestGenerationLoop:
+    def test_max_new_tokens_respected(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        toks = list(lm.generate_stream(
+            "hello world",
+            config=GenerationConfig.greedy(max_new_tokens=5, max_length=64)))
+        assert len(toks) <= 5
+
+    def test_max_length_respected(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        prompt = "hello world the doctor"
+        n_prompt = len(lm.encode_prompt(prompt))
+        toks = list(lm.generate_stream(
+            prompt, config=GenerationConfig.greedy(max_new_tokens=50,
+                                                   max_length=n_prompt + 3)))
+        assert len(toks) <= 3
+
+    def test_cancellation(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        cancel = CancellationToken()
+        out = []
+        for st in lm.generate_stream(
+                "hello world",
+                config=GenerationConfig.greedy(max_new_tokens=20, max_length=64),
+                cancellation=cancel):
+            out.append(st)
+            if len(out) == 2:
+                cancel.cancel()
+        assert len(out) == 2
+
+    def test_emit_prompt_tokens(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        toks = list(lm.generate_stream(
+            "hello world",
+            config=GenerationConfig.greedy(max_new_tokens=2, max_length=64),
+            emit_prompt=True))
+        prompt_toks = [t for t in toks if t.token_type == TokenType.PROMPT]
+        assert len(prompt_toks) == len(lm.encode_prompt("hello world"))
+
+    def test_sampling_seed_reproducible(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        cfg = GenerationConfig(max_new_tokens=8, max_length=64, seed=123,
+                               sampling=SamplingParams(temperature=1.0, top_k=10,
+                                                       top_p=None, min_p=None))
+        a = [st.id for st in lm.generate_stream("hello world", config=cfg)]
+        b = [st.id for st in lm.generate_stream("hello world", config=cfg)]
+        assert a == b
+
+    def test_generate_returns_text(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        out = lm.generate("hello world",
+                          config=GenerationConfig.greedy(max_new_tokens=4,
+                                                         max_length=64))
+        assert isinstance(out, str)
+
+    def test_repetition_penalty_changes_output(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        base = [st.id for st in lm.generate_stream(
+            "hello world", config=GenerationConfig.greedy(max_new_tokens=10,
+                                                          max_length=64))]
+        pen = [st.id for st in lm.generate_stream(
+            "hello world", config=GenerationConfig.greedy(
+                max_new_tokens=10, max_length=64, repetition_penalty=5.0))]
+        # if greedy repeats anything, a huge penalty must alter the trajectory
+        if len(set(base)) < len(base):
+            assert base != pen
+
+
+class TestChatTemplates:
+    def test_llama_template_selected(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        from kjarni_tpu.chat_templates import Conversation
+        conv = Conversation.with_system("be brief")
+        conv.push_user("hi")
+        prompt = lm.apply_chat_template(conv)
+        assert prompt.startswith("<|begin_of_text|>")
+        assert prompt.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
