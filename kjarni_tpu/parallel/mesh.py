@@ -1,0 +1,124 @@
+"""Device mesh + sharding rules for multi-chip execution.
+
+The reference has NO distributed execution (SURVEY.md §2.5 — its parallelism is
+rayon threads and WGSL workgroups). On TPU, scale-out is a first-class design
+axis: a `jax.sharding.Mesh` with ("dp", "tp") axes, Megatron-style tensor
+sharding over the decoder's stacked params, and XLA-inserted collectives over
+ICI. jit + NamedSharding does the rest (GSPMD): column-parallel QKV/gate/up,
+row-parallel o/down, data-parallel batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, *,
+              dp: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
+    """Create a ("dp", "tp") mesh over the first n_devices.
+
+    Defaults put every device on "tp" when undivided; pass dp/tp explicitly for
+    mixed data/tensor parallelism.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if dp is None and tp is None:
+        dp, tp = 1, n
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp ({dp}*{tp}) != n_devices ({n})")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def llama_param_sharding(mesh: Mesh) -> dict:
+    """NamedSharding pytree matching models/llama.py load_params() structure.
+
+    Megatron layout: QKV/gate/up column-parallel (output dim on "tp"),
+    o/down row-parallel (input dim on "tp"), lm_head column-parallel,
+    embeddings and norms replicated. Layer axis (leading) is never sharded —
+    it is scanned over.
+    """
+    col = {"w": _ns(mesh, None, None, "tp")}   # [L, in, out] -> shard out
+    col_b = {"w": _ns(mesh, None, None, "tp"), "b": _ns(mesh, None, "tp")}
+    row = {"w": _ns(mesh, None, "tp", None)}   # [L, in, out] -> shard in
+    rep1 = _ns(mesh, None)
+    rep2 = _ns(mesh, None, None)
+
+    def qkv(with_bias: bool):
+        return col_b if with_bias else col
+
+    return {
+        "embed": rep2,
+        "layers": {
+            "q": col_b, "k": col_b, "v": col_b,  # harmless if bias absent
+            "o": row,
+            "gate": col, "up": col, "down": row,
+            "attn_norm": rep2, "ffn_norm": rep2,
+        },
+        "final_norm": rep1,
+        "lm_head": _ns(mesh, None, "tp"),
+        "rope_cos": rep2,
+        "rope_sin": rep2,
+    }
+
+
+def _match_structure(params: dict, shardings: dict, mesh: Mesh):
+    """Align the sharding pytree with the actual params pytree (bias optional)."""
+    rep = NamedSharding(mesh, P())
+
+    def go(p, s):
+        if isinstance(p, dict):
+            return {k: go(v, s.get(k, rep) if isinstance(s, dict) else rep)
+                    for k, v in p.items()}
+        return s if not isinstance(s, dict) else rep
+
+    return go(params, shardings)
+
+
+def shard_llama_params(params: dict, mesh: Mesh) -> dict:
+    """Place a llama params pytree onto the mesh with tensor-parallel layout."""
+    sh = _match_structure(params, llama_param_sharding(mesh), mesh)
+    return jax.tree.map(jax.device_put, params, sh)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, S] token batches shard over "dp"."""
+    return NamedSharding(mesh, P("dp", None))
+
+
+def cache_sharding(mesh: Mesh) -> NamedSharding:
+    """KV caches [L, B, Hkv, T, D]: batch on "dp", kv heads on "tp"."""
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+
+
+def encoder_param_sharding(mesh: Mesh) -> dict:
+    """Sharding pytree for the BERT encoder (models/bert.py) — tp over heads/ffn."""
+    col = {"w": _ns(mesh, None, None, "tp"), "b": _ns(mesh, None, "tp")}
+    row = {"w": _ns(mesh, None, "tp", None), "b": _ns(mesh, None, None)}
+    rep2 = _ns(mesh, None, None)
+    norm = {"weight": rep2, "bias": rep2}
+    return {
+        "embeddings": {"word": rep2, "position": rep2, "token_type": rep2,
+                       "norm": norm},
+        "layers": {
+            "q": col, "k": col, "v": col, "o": row,
+            "attn_norm": norm,
+            "fc1": col, "fc2": row,
+            "ffn_norm": norm,
+        },
+        "pooler": {"w": rep2, "b": _ns(mesh, None)},
+        "rel_bias": rep2,
+    }

@@ -1,0 +1,96 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY §4:
+"multi-chip ... CPU-backend jax tests + mesh shardings")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kjarni_tpu.parallel.mesh import (batch_sharding, cache_sharding, make_mesh,
+                                      shard_llama_params)
+from kjarni_tpu.parallel.train import causal_lm_loss, sgd_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _random_llama
+    cfg, params = _random_llama({
+        "num_heads": 8, "num_kv_heads": 4, "head_dim": 16, "hidden_size": 128,
+        "intermediate_size": 256, "vocab_size": 256, "max_seq_len": 64,
+        "num_layers": 2})
+    return cfg, jax.tree.map(jnp.asarray, params)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh(8, dp=2, tp=4)
+        assert m.shape == {"dp": 2, "tp": 4}
+        m2 = make_mesh(8)
+        assert m2.shape == {"dp": 1, "tp": 8}
+
+    def test_bad_factorization(self):
+        with pytest.raises(ValueError):
+            make_mesh(8, dp=3, tp=3)
+
+
+class TestShardedForward:
+    def test_tp_forward_matches_replicated(self, tiny_llama):
+        from kjarni_tpu.models import llama as kllama
+        cfg, params = tiny_llama
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 8)),
+                          dtype=jnp.int32)
+        ck, cv = kllama.init_cache(cfg, 2, 16)
+        ref, _, _ = kllama.forward_all_logits(params, cfg, ids, ck, cv, 0)
+
+        mesh = make_mesh(8, dp=2, tp=4)
+        sp = shard_llama_params(params, mesh)
+        ids_s = jax.device_put(ids, batch_sharding(mesh))
+        ck, cv = kllama.init_cache(cfg, 2, 16)
+        ck = jax.device_put(ck, cache_sharding(mesh))
+        cv = jax.device_put(cv, cache_sharding(mesh))
+        with mesh:
+            got, _, _ = jax.jit(
+                lambda p, i, a, b: kllama.forward_all_logits(p, cfg, i, a, b, 0)
+            )(sp, ids_s, ck, cv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4,
+                                   rtol=1e-4)
+
+    def test_sharded_train_step_runs_and_matches(self, tiny_llama):
+        cfg, params = tiny_llama
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, 256, (4, 8)), dtype=jnp.int32)
+        labels = jnp.asarray(rng.integers(0, 256, (4, 8)), dtype=jnp.int32)
+        mask = jnp.ones((4, 8), dtype=jnp.int32)
+        ref_loss = float(causal_lm_loss(params, cfg, ids, labels, mask))
+
+        mesh = make_mesh(8, dp=2, tp=4)
+        sp = shard_llama_params(params, mesh)
+        bs = batch_sharding(mesh)
+        with mesh:
+            new_params, loss = jax.jit(
+                lambda p, i, l, m: sgd_train_step(p, cfg, i, l, m)
+            )(sp, jax.device_put(ids, bs), jax.device_put(labels, bs),
+              jax.device_put(mask, bs))
+        assert float(loss) == pytest.approx(ref_loss, rel=1e-4)
+        # params actually changed
+        assert not np.allclose(np.asarray(new_params["lm_head"]),
+                               np.asarray(params["lm_head"]))
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from __graft_entry__ import entry
+        fn, args = entry()
+        logits, ck, cv = jax.jit(fn)(*args)
+        assert logits.shape == (1, 1024)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_dryrun_multichip(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(8)
