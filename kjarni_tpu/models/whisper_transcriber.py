@@ -1,0 +1,268 @@
+"""Whisper transcription pipeline: chunking, prompt, greedy decode, stitching.
+
+Rebuild of kjarni-models/src/models/whisper/transcriber.rs:85 (chunk_audio :87,
+encode_mel :121, decode_chunk :143 with cross-KV precompute :166, pick_token
+:248, build_prompt_tokens :279, stitch_segments :420). Same token-id constants
+and suppression policy.
+
+TPU shape: mel + encode are one jitted program per chunk; the greedy step
+(forward + suppressed argmax) is another, with the self-KV cache donated across
+steps — one int sync per token, like the decoder LM path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from functools import partial
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.loader import WHISPER_SAMPLE_RATE, load_audio_for_whisper
+from ..audio.mel import MelConfig, log_mel_spectrogram
+from ..core.bucketing import seq_bucket
+from ..tokenizer import KjarniTokenizer
+from ..weights.safetensors_loader import ModelWeights
+from . import whisper as kwhisper
+
+# Token constants (transcriber.rs:20-24)
+SOT_TOKEN = 50258
+EOT_TOKEN = 50257
+TRANSCRIBE_TOKEN = 50359
+TRANSLATE_TOKEN = 50358
+NO_TIMESTAMPS_TOKEN = 50363
+FIRST_SPECIAL_TOKEN = 50257
+TIMESTAMP_BEGIN = 50364
+CHUNK_LENGTH_SECS = 30.0
+
+
+class WhisperTask(str, enum.Enum):
+    TRANSCRIBE = "transcribe"
+    TRANSLATE = "translate"
+
+
+@dataclasses.dataclass
+class WhisperTranscriberConfig:
+    """Cf. transcriber.rs:33 WhisperTranscriberConfig."""
+
+    language: Optional[str] = None
+    task: WhisperTask = WhisperTask.TRANSCRIBE
+    timestamps: bool = False
+    max_tokens_per_chunk: int = 224
+
+
+@dataclasses.dataclass
+class WhisperSegment:
+    start: float
+    end: float
+    text: str
+
+
+@dataclasses.dataclass
+class WhisperChunkResult:
+    segments: list[WhisperSegment]
+    text: str
+
+
+class WhisperModel:
+    """Loaded Whisper checkpoint with jitted encode + greedy-decode programs."""
+
+    def __init__(self, model_dir: Path, dtype=np.float32):
+        model_dir = Path(model_dir)
+        self.model_dir = model_dir
+        hf_cfg = json.loads((model_dir / "config.json").read_text())
+        self.config = kwhisper.WhisperConfig.from_hf(hf_cfg)
+        cfg = self.config
+        ws = ModelWeights(model_dir)
+        self.params = jax.tree.map(jnp.asarray,
+                                   kwhisper.load_params(ws, cfg, dtype))
+        self.tokenizer = KjarniTokenizer.from_file(model_dir / "tokenizer.json")
+        self.mel_config = MelConfig.whisper(n_mels=cfg.num_mel_bins)
+        # suppression: allow text tokens, EOS, and (optionally) timestamps
+        ids = np.arange(cfg.vocab_size)
+        allow_base = (ids < FIRST_SPECIAL_TOKEN) | (ids == EOT_TOKEN)
+        self._allow_no_ts = jnp.asarray(allow_base)
+        self._allow_ts = jnp.asarray(allow_base | (ids >= TIMESTAMP_BEGIN))
+
+        @jax.jit
+        def _encode_chunk(params, audio):
+            mel = log_mel_spectrogram(audio, self.mel_config)
+            enc = kwhisper.encode(params, cfg, mel[None])
+            ck, cv = kwhisper.precompute_cross_kv(params, cfg, enc)
+            return ck, cv
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def _prefill(params, ids, sk, sv, ck, cv, allow):
+            enc_mask = jnp.ones((1, cfg.max_source_positions), jnp.int32)
+            logits, sk, sv = kwhisper.decode_step(params, cfg, ids, sk, sv,
+                                                  ck, cv, enc_mask, 0)
+            last = logits[0, -1]
+            tok = jnp.argmax(jnp.where(allow, last, -jnp.inf)).astype(jnp.int32)
+            return tok, sk, sv
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def _step(params, tok, sk, sv, ck, cv, pos, allow):
+            enc_mask = jnp.ones((1, cfg.max_source_positions), jnp.int32)
+            logits, sk, sv = kwhisper.decode_step(params, cfg, tok[None, None],
+                                                  sk, sv, ck, cv, enc_mask, pos)
+            nxt = jnp.argmax(jnp.where(allow, logits[0, -1], -jnp.inf)
+                             ).astype(jnp.int32)
+            return nxt, sk, sv
+
+        self._encode_chunk = _encode_chunk
+        self._prefill = _prefill
+        self._step = _step
+
+    # ------------------------------------------------------------------
+
+    def chunk_audio(self, audio: np.ndarray) -> list[np.ndarray]:
+        """Zero-padded 30s chunks (transcriber.rs:87)."""
+        n = self.mel_config.chunk_samples
+        chunks = []
+        for start in range(0, max(len(audio), 1), n):
+            chunk = audio[start:start + n]
+            if len(chunk) < n:
+                chunk = np.pad(chunk, (0, n - len(chunk)))
+            chunks.append(chunk.astype(np.float32))
+        return chunks
+
+    def resolve_language_token(self, language: str) -> Optional[int]:
+        return self.tokenizer.token_to_id(f"<|{language.lower()}|>")
+
+    def build_prompt_tokens(self, config: WhisperTranscriberConfig) -> list[int]:
+        tokens = [SOT_TOKEN]
+        lang = config.language or "en"
+        tokens.append(self.resolve_language_token(lang) or 50259)
+        tokens.append(TRANSCRIBE_TOKEN if config.task == WhisperTask.TRANSCRIBE
+                      else TRANSLATE_TOKEN)
+        if not config.timestamps:
+            tokens.append(NO_TIMESTAMPS_TOKEN)
+        return tokens
+
+    def decode_chunk(self, cross_kv, config: WhisperTranscriberConfig,
+                     chunk_time_offset: float,
+                     on_token: Optional[Callable[[int, str], bool]] = None
+                     ) -> WhisperChunkResult:
+        """Greedy decode one chunk over precomputed cross-KV (transcriber.rs:143)."""
+        cfg = self.config
+        ck, cv = cross_kv
+        prompt = self.build_prompt_tokens(config)
+        max_len = min(len(prompt) + config.max_tokens_per_chunk + 1,
+                      cfg.max_target_positions)
+        cache_len = seq_bucket(max_len, cfg.max_target_positions)
+        sk, sv = kwhisper.init_self_cache(cfg, 1, cache_len,
+                                          self.params["embed"].dtype)
+        allow = self._allow_ts if config.timestamps else self._allow_no_ts
+
+        # pad prompt to a small bucket and prefill
+        pbucket = seq_bucket(len(prompt))
+        pids = np.full((1, pbucket), EOT_TOKEN, dtype=np.int32)
+        pids[0, :len(prompt)] = prompt
+        # note: prompt is tiny; run unpadded to keep last_idx exact
+        tok, sk, sv = self._prefill(self.params, jnp.asarray([prompt], jnp.int32),
+                                    sk, sv, ck, cv, allow)
+
+        generated: list[int] = []
+        pos = len(prompt)
+        t = int(tok)
+        generated.append(t)
+        if on_token is not None and t != EOT_TOKEN:
+            if not on_token(t, self.tokenizer.decode([t], False)):
+                return self._finalize_chunk(generated, config, chunk_time_offset)
+        for _ in range(config.max_tokens_per_chunk):
+            if t == EOT_TOKEN or pos + 1 >= cache_len:
+                break
+            tok, sk, sv = self._step(self.params, jnp.int32(t), sk, sv, ck, cv,
+                                     jnp.int32(pos), allow)
+            t = int(tok)
+            pos += 1
+            generated.append(t)
+            if on_token is not None and t != EOT_TOKEN:
+                if not on_token(t, self.tokenizer.decode([t], False)):
+                    break
+        return self._finalize_chunk(generated, config, chunk_time_offset)
+
+    def _finalize_chunk(self, ids: list[int], config: WhisperTranscriberConfig,
+                        offset: float) -> WhisperChunkResult:
+        if config.timestamps:
+            segments = self._parse_timestamp_segments(ids, offset)
+            return WhisperChunkResult(segments=segments,
+                                      text="".join(s.text for s in segments))
+        text_ids = [i for i in ids if i < FIRST_SPECIAL_TOKEN]
+        text = self.tokenizer.decode(text_ids, skip_special_tokens=True)
+        segments = []
+        if text.strip():
+            segments = [WhisperSegment(offset, offset + CHUNK_LENGTH_SECS, text)]
+        return WhisperChunkResult(segments=segments, text=text)
+
+    def _parse_timestamp_segments(self, ids: list[int],
+                                  offset: float) -> list[WhisperSegment]:
+        """<|t1|> text <|t2|> pairs -> segments; timestamps step 0.02s."""
+        segments: list[WhisperSegment] = []
+        start: Optional[float] = None
+        buf: list[int] = []
+        for i in ids:
+            if i >= TIMESTAMP_BEGIN:
+                ts = (i - TIMESTAMP_BEGIN) * 0.02 + offset
+                if start is None:
+                    start = ts
+                else:
+                    text = self.tokenizer.decode(
+                        [t for t in buf if t < FIRST_SPECIAL_TOKEN], True)
+                    if text.strip():
+                        segments.append(WhisperSegment(start, ts, text))
+                    start, buf = ts, []
+            elif i < FIRST_SPECIAL_TOKEN:
+                buf.append(i)
+        if buf:
+            text = self.tokenizer.decode(buf, True)
+            if text.strip():
+                segments.append(WhisperSegment(
+                    start if start is not None else offset,
+                    offset + CHUNK_LENGTH_SECS, text))
+        return segments
+
+    # ------------------------------------------------------------------
+
+    def transcribe(self, audio: np.ndarray,
+                   config: Optional[WhisperTranscriberConfig] = None,
+                   on_token: Optional[Callable[[int, str], bool]] = None
+                   ) -> tuple[str, list[WhisperSegment]]:
+        """Full pipeline: chunk -> mel+encode -> decode -> stitch."""
+        config = config or WhisperTranscriberConfig()
+        results = []
+        for i, chunk in enumerate(self.chunk_audio(audio)):
+            cross_kv = self._encode_chunk(self.params, jnp.asarray(chunk))
+            results.append(self.decode_chunk(cross_kv, config,
+                                             i * CHUNK_LENGTH_SECS, on_token))
+        return stitch_segments(results)
+
+
+def stitch_segments(chunk_results: list[WhisperChunkResult]
+                    ) -> tuple[str, list[WhisperSegment]]:
+    """Cf. transcriber.rs:420 stitch_segments + merge_boundary_segments."""
+    if not chunk_results:
+        return "", []
+    full_text = "".join(r.text for r in chunk_results)
+    all_segments = [s for r in chunk_results for s in r.segments]
+    if len(all_segments) < 2:
+        return full_text, all_segments
+
+    def is_boundary(t: float) -> bool:
+        rem = t % CHUNK_LENGTH_SECS
+        return rem < 0.02 or (CHUNK_LENGTH_SECS - rem) < 0.02
+
+    merged: list[WhisperSegment] = []
+    for seg in all_segments:
+        if merged and abs(merged[-1].end - seg.start) < 0.02 and \
+                is_boundary(merged[-1].end):
+            merged[-1] = WhisperSegment(merged[-1].start, seg.end,
+                                        merged[-1].text + seg.text)
+        else:
+            merged.append(seg)
+    return full_text, merged
