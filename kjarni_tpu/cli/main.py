@@ -1,0 +1,377 @@
+"""kjarni CLI — UNIX-style front door to every task.
+
+Rebuild of kjarni-cli (lib.rs:7 Cli/Commands, main.rs:22-260 dispatch,
+commands/*.rs handlers): the same 12 subcommands — model, generate, embed,
+summarize, translate, transcribe, classify, rerank, chat, index, search,
+similarity — reading args or stdin, printing bar-chart tables or `--format
+json`, with -v/-vv/-vvv verbosity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+from .. import registry
+from ..core.errors import KjarniError
+from .display import (format_table, print_scores, print_search_results,
+                      print_similarity)
+
+
+def _read_text(arg: str | None) -> str:
+    """Positional text or stdin pipe (cf. kjarni-cli stdin piping)."""
+    if arg is not None and arg != "-":
+        return arg
+    data = sys.stdin.read().strip()
+    if not data:
+        raise KjarniError("no input text (pass as argument or pipe via stdin)")
+    return data
+
+
+def _setup_logging(verbosity: int) -> None:
+    level = {0: logging.WARNING, 1: logging.INFO, 2: logging.DEBUG}.get(
+        min(verbosity, 2), logging.DEBUG)
+    logging.basicConfig(level=level, format="%(levelname)s %(name)s: %(message)s")
+
+
+# ---------------------------------------------------------------------------
+# command handlers
+# ---------------------------------------------------------------------------
+
+def cmd_model(args) -> int:
+    if args.model_cmd == "list":
+        rows = []
+        for m in registry.all_models():
+            rows.append([m.cli_name, m.display_group(),
+                         registry.format_params(m.params_millions),
+                         registry.format_size(m.size_mb),
+                         "✓" if registry.is_downloaded(m) else " "])
+        print(format_table(rows, ["NAME", "KIND", "PARAMS", "SIZE", "CACHED"]))
+        return 0
+    if args.model_cmd == "download":
+        m = registry.resolve(args.name)
+        registry.download_model_files(m, quiet=args.quiet)
+        print(f"✓ Downloaded {m.cli_name} to {registry.model_cache_dir(m)}")
+        return 0
+    if args.model_cmd == "info":
+        m = registry.resolve(args.name)
+        info = {
+            "name": m.cli_name, "architecture": m.architecture.display_name(),
+            "task": m.task.value, "params": registry.format_params(m.params_millions),
+            "size": registry.format_size(m.size_mb), "repo": m.repo_id,
+            "description": m.description,
+            "downloaded": registry.is_downloaded(m),
+            "path": str(registry.model_cache_dir(m)),
+        }
+        if args.format == "json":
+            print(json.dumps(info, indent=2))
+        else:
+            for k, v in info.items():
+                print(f"  {k:>12}: {v}")
+        return 0
+    if args.model_cmd == "path":
+        m = registry.resolve(args.name)
+        print(registry.model_cache_dir(m))
+        return 0
+    if args.model_cmd == "search":
+        results = registry.search(args.query)
+        rows = [[m.cli_name, f"{score:.2f}", m.description[:60]]
+                for m, score in results]
+        print(format_table(rows, ["NAME", "SCORE", "DESCRIPTION"]))
+        return 0
+    raise KjarniError(f"unknown model subcommand {args.model_cmd}")
+
+
+def cmd_classify(args) -> int:
+    from ..tasks.classifier import Classifier
+    text = _read_text(args.text)
+    clf = Classifier(args.model, quiet=args.quiet)
+    result = clf.classify(text)
+    if args.format == "json":
+        print(json.dumps({"label": result.label, "score": result.score,
+                          "all_scores": dict(result.all_scores)}))
+    else:
+        print_scores(result.all_scores)
+    return 0
+
+
+def cmd_embed(args) -> int:
+    from ..tasks.embedder import Embedder
+    text = _read_text(args.text)
+    emb = Embedder(args.model, quiet=args.quiet)
+    vec = emb.embed(text)
+    if args.format == "json":
+        print(json.dumps({"dim": len(vec), "embedding": [float(x) for x in vec]},
+                         indent=2))
+    else:
+        head = ", ".join(f"{x:.6f}" for x in vec[:8])
+        print(f"  dim: {len(vec)}")
+        print(f"  [{head}, ...]")
+    return 0
+
+
+def cmd_similarity(args) -> int:
+    from ..tasks.embedder import Embedder
+    emb = Embedder(args.model, quiet=args.quiet)
+    score = emb.similarity(args.text_a, args.text_b)
+    if args.format == "json":
+        print(json.dumps({"similarity": score}))
+    else:
+        print_similarity(args.text_a, args.text_b, score)
+    return 0
+
+
+def cmd_rerank(args) -> int:
+    from ..tasks.reranker import Reranker
+    rr = Reranker(args.model, quiet=args.quiet)
+    results = rr.rerank(args.query, args.documents)
+    if args.format == "json":
+        print(json.dumps([{"index": r.index, "score": r.score, "text": r.text}
+                          for r in results]))
+    else:
+        for r in results:
+            print(f"  {r.score:8.4f}  {r.text}")
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from ..generate.sampling import GenerationConfig
+    from ..tasks.generator import Generator, resolve_generation_config
+    text = _read_text(args.prompt)
+    gen = Generator(args.model, quiet=args.quiet)
+    cfg = resolve_generation_config(
+        args.preset, None,
+        **({"max_new_tokens": args.max_tokens} if args.max_tokens else {}))
+    if args.format == "json":
+        out = gen.generate(text, config=cfg)
+        print(json.dumps({"text": out}))
+    else:
+        for st in gen.generate_stream(text, config=cfg):
+            print(st.text, end="", flush=True)
+        print()
+    return 0
+
+
+def cmd_chat(args) -> int:
+    from ..tasks.chat import Chat
+    chat = Chat(args.model, system_prompt=args.system, quiet=args.quiet)
+    if args.message:
+        reply = chat.send(args.message)
+        print(reply)
+        return 0
+    print(f"Chatting with {chat.model_id} (Ctrl-D or 'exit' to quit)")
+    while True:
+        try:
+            line = input("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        if line in ("exit", "quit"):
+            break
+        if not line:
+            continue
+        for st in chat.stream(line):
+            print(st.text, end="", flush=True)
+        print()
+    return 0
+
+
+def cmd_summarize(args) -> int:
+    from ..tasks.summarizer import Summarizer
+    text = _read_text(args.text)
+    s = Summarizer(args.model, quiet=args.quiet)
+    out = s.summarize(text)
+    if args.format == "json":
+        print(json.dumps({"summary": out}))
+    else:
+        print(out)
+    return 0
+
+
+def cmd_translate(args) -> int:
+    from ..tasks.translator import Translator
+    text = _read_text(args.text)
+    t = Translator(args.model, quiet=args.quiet)
+    out = t.translate(text, args.from_lang, args.to_lang)
+    if args.format == "json":
+        print(json.dumps({"translation": out}))
+    else:
+        print(out)
+    return 0
+
+
+def cmd_transcribe(args) -> int:
+    from ..tasks.transcriber import Transcriber
+    t = Transcriber(args.model, language=args.language,
+                    timestamps=args.timestamps, quiet=args.quiet)
+    result = t.transcribe_file(args.file)
+    if args.format == "json":
+        print(json.dumps({
+            "text": result.text,
+            "duration": result.duration,
+            "segments": [{"start": s.start, "end": s.end, "text": s.text}
+                         for s in result.segments]}))
+    else:
+        if args.timestamps:
+            for s in result.segments:
+                print(f"  [{s.start:7.2f} → {s.end:7.2f}] {s.text}")
+        else:
+            print(result.text)
+    return 0
+
+
+def cmd_index(args) -> int:
+    from ..tasks.indexer import Indexer
+    indexer = Indexer(args.model, chunk_size=args.chunk_size, quiet=args.quiet)
+    if args.index_cmd == "create":
+        stats = indexer.create(args.name, args.paths)
+    else:
+        stats = indexer.add(args.name, args.paths)
+    if args.format == "json":
+        print(json.dumps({"documents": stats.documents, "chunks": stats.chunks,
+                          "bytes": stats.bytes}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from ..tasks.searcher import Searcher
+    searcher = Searcher(args.model, reranker_model=args.rerank_model,
+                        quiet=args.quiet)
+    results = searcher.search(args.name, args.query, mode=args.mode,
+                              top_k=args.top_k)
+    if args.format == "json":
+        print(json.dumps([{"score": r.score, "document_id": r.document_id,
+                           "text": r.text, "metadata": r.metadata}
+                          for r in results]))
+    else:
+        print_search_results(results)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kjarni",
+        description="kjarni-tpu: run ML models from the command line")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("--quiet", action="store_true")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_common(sp, model_default):
+        sp.add_argument("--model", default=model_default)
+        sp.add_argument("--format", choices=["text", "json"], default="text")
+
+    sp = sub.add_parser("model", help="manage models")
+    msub = sp.add_subparsers(dest="model_cmd", required=True)
+    msub.add_parser("list")
+    d = msub.add_parser("download")
+    d.add_argument("name")
+    i = msub.add_parser("info")
+    i.add_argument("name")
+    i.add_argument("--format", choices=["text", "json"], default="text")
+    pa = msub.add_parser("path")
+    pa.add_argument("name")
+    se = msub.add_parser("search")
+    se.add_argument("query")
+    sp.set_defaults(fn=cmd_model)
+
+    sp = sub.add_parser("classify", help="classify text")
+    sp.add_argument("text", nargs="?")
+    add_common(sp, "distilbert-sentiment")
+    sp.set_defaults(fn=cmd_classify)
+
+    sp = sub.add_parser("embed", help="generate embeddings")
+    sp.add_argument("text", nargs="?")
+    add_common(sp, "minilm-l6-v2")
+    sp.set_defaults(fn=cmd_embed)
+
+    sp = sub.add_parser("similarity", help="semantic similarity of two texts")
+    sp.add_argument("text_a")
+    sp.add_argument("text_b")
+    add_common(sp, "minilm-l6-v2")
+    sp.set_defaults(fn=cmd_similarity)
+
+    sp = sub.add_parser("rerank", help="rerank documents against a query")
+    sp.add_argument("query")
+    sp.add_argument("documents", nargs="+")
+    add_common(sp, "minilm-l6-v2-cross-encoder")
+    sp.set_defaults(fn=cmd_rerank)
+
+    sp = sub.add_parser("generate", help="generate text with an LLM")
+    sp.add_argument("prompt", nargs="?")
+    sp.add_argument("--max-tokens", type=int)
+    sp.add_argument("--preset", choices=["greedy", "creative", "precise",
+                                         "balanced"])
+    add_common(sp, "qwen2.5-0.5b-instruct")
+    sp.set_defaults(fn=cmd_generate)
+
+    sp = sub.add_parser("chat", help="chat with an instruct model")
+    sp.add_argument("--message", "-m", help="single message (non-interactive)")
+    sp.add_argument("--system")
+    add_common(sp, "qwen2.5-0.5b-instruct")
+    sp.set_defaults(fn=cmd_chat)
+
+    sp = sub.add_parser("summarize", help="summarize text")
+    sp.add_argument("text", nargs="?")
+    add_common(sp, "distilbart-cnn")
+    sp.set_defaults(fn=cmd_summarize)
+
+    sp = sub.add_parser("translate", help="translate text")
+    sp.add_argument("text", nargs="?")
+    sp.add_argument("--from", dest="from_lang", default="English")
+    sp.add_argument("--to", dest="to_lang", default="German")
+    add_common(sp, "flan-t5-base")
+    sp.set_defaults(fn=cmd_translate)
+
+    sp = sub.add_parser("transcribe", help="transcribe audio")
+    sp.add_argument("file")
+    sp.add_argument("--language")
+    sp.add_argument("--timestamps", action="store_true")
+    add_common(sp, "whisper-small")
+    sp.set_defaults(fn=cmd_transcribe)
+
+    sp = sub.add_parser("index", help="create or extend a search index")
+    isub = sp.add_subparsers(dest="index_cmd", required=True)
+    for name in ("create", "add"):
+        c = isub.add_parser(name)
+        c.add_argument("name")
+        c.add_argument("paths", nargs="+")
+        c.add_argument("--model", default="minilm-l6-v2")
+        c.add_argument("--chunk-size", type=int, default=1000)
+        c.add_argument("--format", choices=["text", "json"], default="text")
+    sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("search", help="search an index")
+    sp.add_argument("name")
+    sp.add_argument("query")
+    sp.add_argument("--top-k", type=int, default=10)
+    sp.add_argument("--mode", choices=["semantic", "keyword", "hybrid"],
+                    default="hybrid")
+    sp.add_argument("--rerank-model")
+    add_common(sp, "minilm-l6-v2")
+    sp.set_defaults(fn=cmd_search)
+
+    return p
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    _setup_logging(args.verbose)
+    try:
+        return args.fn(args)
+    except KjarniError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except KeyboardInterrupt:
+        return 130
+
+
+if __name__ == "__main__":
+    sys.exit(main())
