@@ -49,10 +49,24 @@ class DecoderLM:
                  max_context: Optional[int] = None):
         model_dir = Path(model_dir)
         self.model_dir = model_dir
-        hf_cfg = json.loads((model_dir / "config.json").read_text())
+        # weights source: safetensors preferred, GGUF fallback (gguf_loader.rs)
+        gguf_path = model_dir / "model.gguf"
+        has_safetensors = (model_dir / "model.safetensors").exists() or \
+            (model_dir / "model.safetensors.index.json").exists()
+        if has_safetensors:
+            ws = ModelWeights(model_dir)
+        elif gguf_path.exists():
+            from ..weights.gguf import GgufWeights
+            ws = GgufWeights(gguf_path)
+        else:
+            ws = ModelWeights(model_dir)  # raises with a clear error
+        cfg_path = model_dir / "config.json"
+        if cfg_path.exists():
+            hf_cfg = json.loads(cfg_path.read_text())
+        else:
+            hf_cfg = ws.hf_config()  # GGUF metadata -> HF-style config
         self.hf_config = hf_cfg
         mt = hf_cfg.get("model_type", "llama")
-        ws = ModelWeights(model_dir)
 
         if mt in ("gpt2",):
             self.family = kgpt2
