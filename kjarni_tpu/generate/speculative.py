@@ -1,0 +1,200 @@
+"""Speculative decoding: draft model proposes, target verifies in one forward.
+
+Rebuild of kjarni-transformers/src/cpu/decoder/speculation.rs:42
+(DraftModelContext :20, greedy + probabilistic acceptance). The reference runs
+draft/target prefill concurrently with tokio; here the whole hot loop is three
+device dispatches per speculation round:
+
+  1. draft scan  — k+1 greedy draft steps fused in one `lax.scan` program
+  2. target pass — ONE batched forward over [cur, d1..dk]
+  3. verify      — acceptance + bonus-token pick, on device
+
+Cache rollback (speculation.rs accept/rollback) costs nothing: rejected
+positions are simply overwritten by the next round's writes before any query
+can attend to them.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from functools import partial
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bucketing import seq_bucket
+from ..core.cancellation import CancellationToken
+from ..core.errors import GenerationError
+from ..core.stats import GenerationStats
+from .sampling import GenerationConfig
+from .stream import StreamDecoder, StreamedToken, TokenType
+
+
+class SpeculativeGenerator:
+    """Cf. run_speculative_generation_loop (speculation.rs:42)."""
+
+    def __init__(self, target, draft, num_tokens: int = 4,
+                 probabilistic: bool = False):
+        if target.config.vocab_size != draft.config.vocab_size:
+            raise GenerationError(
+                "draft and target models must share a vocabulary")
+        self.target = target
+        self.draft = draft
+        self.k = num_tokens
+        self.probabilistic = probabilistic
+        self._build()
+
+    def _build(self):
+        k = self.k
+        t_cfg, d_cfg = self.target.config, self.draft.config
+        t_fwd = self.target.family.forward_all_logits
+        d_fwd = self.draft.family.forward_all_logits
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def draft_scan(params, ck, cv, cur, pos):
+            """k+1 greedy draft steps; returns d1..dk and their logits."""
+            def body(carry, i):
+                tok, ck, cv = carry
+                logits, ck, cv = d_fwd(params, d_cfg, tok[None, None], ck, cv,
+                                       pos + i)
+                nxt = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+                return (nxt, ck, cv), (nxt, logits[0, 0])
+            (last, ck, cv), (toks, logits) = jax.lax.scan(
+                body, (cur, ck, cv), jnp.arange(k + 1))
+            return toks[:k], logits[:k], ck, cv
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def target_pass(params, ck, cv, tokens, pos):
+            """tokens [k+1] = [cur, d1..dk]; logits at every position."""
+            logits, ck, cv = t_fwd(params, t_cfg, tokens[None, :], ck, cv, pos)
+            return logits[0], ck, cv  # [k+1, V]
+
+        @jax.jit
+        def verify_greedy(target_logits, draft_tokens):
+            preds = jnp.argmax(target_logits, axis=-1).astype(jnp.int32)  # [k+1]
+            matches = preds[:k] == draft_tokens
+            n_acc = jnp.argmin(jnp.concatenate(
+                [matches, jnp.array([False])]).astype(jnp.int32))
+            return n_acc.astype(jnp.int32), preds[n_acc]
+
+        @jax.jit
+        def verify_prob(target_logits, draft_logits, draft_tokens, rng):
+            p = jax.nn.softmax(target_logits, axis=-1)  # [k+1, V]
+            q = jax.nn.softmax(draft_logits, axis=-1)   # [k, V]
+            idx = draft_tokens
+            p_tok = jnp.take_along_axis(p[:k], idx[:, None], axis=-1)[:, 0]
+            q_tok = jnp.take_along_axis(q, idx[:, None], axis=-1)[:, 0]
+            rng, u_key, s_key = jax.random.split(rng, 3)
+            u = jax.random.uniform(u_key, (k,))
+            accept = u < p_tok / jnp.maximum(q_tok, 1e-20)
+            n_acc = jnp.argmin(jnp.concatenate(
+                [accept, jnp.array([False])]).astype(jnp.int32))
+            # resample distribution at the first rejection; p[k] if all accepted
+            residual = jnp.maximum(p[jnp.minimum(n_acc, k - 1)] -
+                                   q[jnp.minimum(n_acc, k - 1)], 0.0)
+            residual = residual / jnp.maximum(residual.sum(), 1e-20)
+            resampled = jax.random.categorical(s_key, jnp.log(residual + 1e-20))
+            bonus = jax.random.categorical(s_key, jnp.log(p[k] + 1e-20))
+            nxt = jnp.where(n_acc == k, bonus, resampled).astype(jnp.int32)
+            return n_acc.astype(jnp.int32), nxt, rng
+
+        self._draft_scan = draft_scan
+        self._target_pass = target_pass
+        self._verify_greedy = verify_greedy
+        self._verify_prob = verify_prob
+
+    def generate_stream(self, prompt: Optional[str] = None, *,
+                        token_ids=None,
+                        config: Optional[GenerationConfig] = None,
+                        cancellation: Optional[CancellationToken] = None,
+                        ) -> Iterator[StreamedToken]:
+        gen = config or GenerationConfig.greedy()
+        target, draft = self.target, self.draft
+        if token_ids is None:
+            if prompt is None:
+                raise GenerationError("either prompt or token_ids is required")
+            token_ids = target.encode_prompt(prompt, gen.add_bos_token)
+        ids = list(token_ids)[: target.max_context - self.k - 2]
+        prompt_len = len(ids)
+        stats = GenerationStats()
+        stats.start()
+
+        # prefill both models (speculation.rs: joint prefill)
+        tck, tcv = target._ensure_cache()
+        if draft is target:
+            # self-drafting: the roles need distinct cache buffers
+            dck, dcv = draft.family.init_cache(draft.config, 1,
+                                               draft.max_context,
+                                               draft._cache_dtype)
+        else:
+            dck, dcv = draft._ensure_cache()
+        bucket = seq_bucket(prompt_len, target.max_context)
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :prompt_len] = ids
+        t_logits, tck, tcv = target._prefill(target.params, tck, tcv,
+                                             jnp.asarray(padded), prompt_len - 1)
+        _, dck, dcv = draft._prefill(draft.params, dck, dcv,
+                                     jnp.asarray(padded), prompt_len - 1)
+        stats.mark_prefill(prompt_len)
+
+        cur = jnp.argmax(t_logits).astype(jnp.int32)
+        pos = prompt_len
+        rng = jax.random.PRNGKey(gen.seed if gen.seed is not None
+                                 else _random.getrandbits(31))
+        sdec = StreamDecoder(target.tokenizer)
+        max_new = gen.max_new_tokens if gen.max_new_tokens is not None else \
+            max(gen.max_length - prompt_len, 0)
+        n_generated = 0
+        stop = target.stop_token_ids
+
+        def emit(t: int):
+            nonlocal n_generated
+            n_generated += 1
+            return StreamedToken(sdec.push(t), t, TokenType.GENERATED)
+
+        try:
+            c = int(cur)
+            if c in stop:
+                return
+            yield emit(c)
+            while n_generated < max_new:
+                if cancellation is not None and cancellation.is_cancelled:
+                    break
+                if pos + self.k + 2 >= min(target.max_context, gen.max_length):
+                    break
+                d_toks, d_logits, dck, dcv = self._draft_scan(
+                    draft.params, dck, dcv, cur, jnp.int32(pos))
+                tokens_in = jnp.concatenate([cur[None], d_toks])
+                t_logits, tck, tcv = self._target_pass(
+                    target.params, tck, tcv, tokens_in, jnp.int32(pos))
+                if self.probabilistic:
+                    n_acc, nxt, rng = self._verify_prob(t_logits, d_logits,
+                                                        d_toks, rng)
+                else:
+                    n_acc, nxt = self._verify_greedy(t_logits, d_toks)
+                n_acc = int(n_acc)
+                accepted = [int(t) for t in np.asarray(d_toks[:n_acc])]
+                stopped = False
+                for t in accepted:
+                    if t in stop or n_generated >= max_new:
+                        stopped = True
+                        break
+                    yield emit(t)
+                if stopped:
+                    break
+                nxt_i = int(nxt)
+                if nxt_i in stop or n_generated >= max_new:
+                    break
+                yield emit(nxt_i)
+                cur = jnp.int32(nxt_i)
+                pos += n_acc + 1
+        finally:
+            target._cache = (tck, tcv)
+            draft._cache = (dck, dcv)
+            stats.mark_decode_done(n_generated)
+            stats.print_summary()
+
+    def generate(self, prompt: str, **kw) -> str:
+        return "".join(st.text for st in self.generate_stream(prompt, **kw))

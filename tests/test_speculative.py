@@ -1,0 +1,93 @@
+"""Speculative decoding: greedy spec output must equal vanilla target greedy."""
+
+import numpy as np
+import pytest
+import torch
+
+from helpers import build_word_tokenizer, save_torch_model
+
+from kjarni_tpu.generate.sampling import GenerationConfig
+from kjarni_tpu.generate.speculative import SpeculativeGenerator
+from kjarni_tpu.models.decoder_lm import DecoderLM
+
+
+def make_llama_dir(d, seed, layers=2, hidden=64):
+    from transformers import LlamaConfig, LlamaForCausalLM
+    vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+    config = LlamaConfig(vocab_size=len(vm), hidden_size=hidden,
+                         intermediate_size=hidden * 2, num_hidden_layers=layers,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=128, bos_token_id=2,
+                         eos_token_id=3, tie_word_embeddings=False)
+    torch.manual_seed(seed)
+    model = LlamaForCausalLM(config).eval()
+    save_torch_model(d, model, config)
+    return d
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    target_dir = make_llama_dir(tmp_path_factory.mktemp("spec_target"), seed=31,
+                                layers=3)
+    draft_dir = make_llama_dir(tmp_path_factory.mktemp("spec_draft"), seed=32,
+                               layers=1, hidden=32)
+    target = DecoderLM(target_dir, max_context=64)
+    draft = DecoderLM(draft_dir, max_context=64)
+    return target, draft
+
+
+class TestSpeculative:
+    def test_greedy_matches_vanilla(self, models):
+        target, draft = models
+        cfg = GenerationConfig.greedy(max_new_tokens=12, max_length=64)
+        vanilla = [st.id for st in target.generate_stream("hello world the",
+                                                          config=cfg)]
+        spec = SpeculativeGenerator(target, draft, num_tokens=4)
+        got = [st.id for st in spec.generate_stream("hello world the",
+                                                    config=cfg)]
+        assert got == vanilla
+
+    def test_self_draft_accepts_everything(self, models):
+        # draft == target: every proposal accepted; output still exact
+        target, _ = models
+        cfg = GenerationConfig.greedy(max_new_tokens=10, max_length=64)
+        vanilla = [st.id for st in target.generate_stream("doctor physician",
+                                                          config=cfg)]
+        spec = SpeculativeGenerator(target, target, num_tokens=3)
+        got = [st.id for st in spec.generate_stream("doctor physician",
+                                                    config=cfg)]
+        assert got == vanilla
+
+    def test_max_new_tokens_respected(self, models):
+        target, draft = models
+        spec = SpeculativeGenerator(target, draft, num_tokens=4)
+        got = list(spec.generate_stream(
+            "hello", config=GenerationConfig.greedy(max_new_tokens=5,
+                                                    max_length=64)))
+        assert len(got) <= 5
+
+    def test_probabilistic_runs(self, models):
+        target, draft = models
+        spec = SpeculativeGenerator(target, draft, num_tokens=3,
+                                    probabilistic=True)
+        got = list(spec.generate_stream(
+            "hello world",
+            config=GenerationConfig(max_new_tokens=8, max_length=64, seed=7)))
+        assert all(0 <= st.id < target.config.vocab_size for st in got)
+
+    def test_vocab_mismatch_rejected(self, models, tmp_path):
+        target, _ = models
+        from kjarni_tpu.core.errors import GenerationError
+        from transformers import LlamaConfig, LlamaForCausalLM
+        config = LlamaConfig(vocab_size=10, hidden_size=32,
+                             intermediate_size=64, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=2,
+                             max_position_embeddings=64)
+        torch.manual_seed(1)
+        save_torch_model(tmp_path, LlamaForCausalLM(config).eval(), config)
+        build_word_tokenizer(tmp_path / "tokenizer.json", bert_style=False)
+        # vocab differs (10 vs word-tokenizer size) -> must raise
+        other = DecoderLM.__new__(DecoderLM)
+        with pytest.raises(GenerationError):
+            bad = DecoderLM(tmp_path, max_context=64)
+            SpeculativeGenerator(target, bad)
