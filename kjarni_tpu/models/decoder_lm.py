@@ -101,10 +101,23 @@ class DecoderLM:
         self.bos_token_id = cfg.bos_token_id
 
         fwd = self.family.forward
+        # flash prefill: TPU-only, llama-family, no sliding window, long prompts
+        self._flash_min_seq = 512
+        self._flash_ok = (
+            self.family is kllama
+            and getattr(cfg, "sliding_window", None) is None
+            and jax.devices()[0].platform != "cpu")
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def _prefill(params, ck, cv, ids, last_idx):
-            logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0, last_idx)
+        flash_ok = self._flash_ok
+        flash_min = self._flash_min_seq
+
+        @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("use_flash",))
+        def _prefill(params, ck, cv, ids, last_idx, use_flash=False):
+            if use_flash:
+                logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0, last_idx,
+                                     use_flash=True)
+            else:
+                logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0, last_idx)
             return logits[0], ck, cv
 
         self._prefill = _prefill
@@ -184,8 +197,9 @@ class DecoderLM:
         bucket = seq_bucket(prompt_len, self.max_context)
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :prompt_len] = ids
+        use_flash = self._flash_ok and bucket >= self._flash_min_seq
         logits, ck, cv = self._prefill(self.params, ck, cv, jnp.asarray(padded),
-                                       prompt_len - 1)
+                                       prompt_len - 1, use_flash=use_flash)
         stats.mark_prefill(prompt_len)
 
         if emit_prompt:

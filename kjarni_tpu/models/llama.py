@@ -240,8 +240,14 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
 # ---------------------------------------------------------------------------
 
 def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
-               cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start):
-    """Embed -> scanned layer stack -> final norm. Shared by prefill/decode."""
+               cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start,
+               use_flash: bool = False):
+    """Embed -> scanned layer stack -> final norm. Shared by prefill/decode.
+
+    `use_flash` (static) routes attention through the Pallas flash kernel —
+    valid only for a from-zero prefill (pos_start==0, no sliding window),
+    where attending over the fresh K/V block equals attending over the cache.
+    """
     B, S = ids.shape
     T = cache_k.shape[3]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -278,7 +284,11 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
         q, k = apply_rope(q, k, cos, sin, jnp.arange(S))
         kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos_start, 0))
         vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos_start, 0))
-        ctx = merge_heads(attention(q, kc, vc, bias))
+        if use_flash:
+            from ..ops.pallas.flash_attention import flash_attention
+            ctx = merge_heads(flash_attention(q, k, v, causal=True))
+        else:
+            ctx = merge_heads(attention(q, kc, vc, bias))
         h = h + ctx @ lp["o"]["w"]
         hn = rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
         ffn = (jax.nn.silu(hn @ lp["gate"]["w"]) * (hn @ lp["up"]["w"])) @ lp["down"]["w"]
@@ -292,7 +302,7 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
 
 def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
             cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start: jnp.ndarray,
-            last_idx: Optional[jnp.ndarray] = None):
+            last_idx: Optional[jnp.ndarray] = None, use_flash: bool = False):
     """One decoder pass, shared by prefill and decode.
 
     ids: [B, S] tokens whose absolute positions are pos_start + arange(S).
@@ -303,7 +313,8 @@ def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     Padding discipline: garbage K/V beyond the true prompt length is never
     attended — decode steps overwrite slot p before any query reaches p.
     """
-    x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v, pos_start)
+    x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v,
+                                     pos_start, use_flash)
     if last_idx is None:
         last_idx = ids.shape[1] - 1
     last = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)

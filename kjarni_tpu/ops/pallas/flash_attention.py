@@ -1,0 +1,136 @@
+"""Fused flash attention (Pallas TPU kernel).
+
+The reference's attention materializes full [S, T] score matrices
+(cpu/encoder/encoder_self_attention.rs, gpu_ops/blocks/attention/*). On TPU,
+long sequences make that HBM-bound; this kernel streams K/V blocks through
+VMEM with an online softmax so scores never hit HBM (SURVEY §5.7: "blockwise/
+flash attention in Pallas is needed for parity throughput").
+
+Canonical TPU layout: sequential grid (batch*heads, q_blocks, k_blocks) with
+the running max/sum/accumulator living in VMEM scratch across the k dimension;
+@pl.when(k==0) initializes, @pl.when(k==last) writes the normalized tile out.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  scale: float, causal: bool, block_q: int, block_k: int,
+                  kv_len: int):
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    # causal: skip k-blocks strictly above the diagonal band
+    run = True
+    if causal:
+        run = k_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [BQ, D]
+        k = k_ref[0].astype(jnp.float32)  # [BK, D]
+        v = v_ref[0].astype(jnp.float32)  # [BK, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                 (block_q, block_k), 1)
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(jnp.int32,
+                                                     (block_q, block_k), 0)
+            s = jnp.where(col <= row, s, NEG_INF)
+        # mask padded kv tail
+        s = jnp.where(col < kv_len, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]                       # [BQ, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [BQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                      # [BQ, BK]
+        correction = jnp.exp(m_prev - m_new)        # [BQ, 1]
+        l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
+                                             "block_k", "interpret"))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    causal: bool = False, scale: float | None = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> jnp.ndarray:
+    """q [B, H, S, D], k/v [B, Hkv, T, D] -> [B, H, S, D].
+
+    GQA handled by repeating kv heads (index math, no materialized copy until
+    the kernel DMAs blocks). S and T are padded to block multiples internally.
+    """
+    B, H, S, D = q.shape
+    Hkv, T = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    if Hkv != H:
+        rep = H // Hkv
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    block_q = min(block_q, max(8, S))
+    block_k = min(block_k, max(8, T))
+    S_pad = -(-S // block_q) * block_q
+    T_pad = -(-T // block_k) * block_k
+    qf = jnp.pad(q, ((0, 0), (0, 0), (0, S_pad - S), (0, 0))).reshape(
+        B * H, S_pad, D)
+    kf = jnp.pad(k, ((0, 0), (0, 0), (0, T_pad - T), (0, 0))).reshape(
+        B * H, T_pad, D)
+    vf = jnp.pad(v, ((0, 0), (0, 0), (0, T_pad - T), (0, 0))).reshape(
+        B * H, T_pad, D)
+
+    grid = (B * H, S_pad // block_q, T_pad // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
+                               block_q=block_q, block_k=block_k, kv_len=T)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, S_pad, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, D), jnp.float32),    # output accumulator
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(B, H, S_pad, D)[:, :, :S, :]
