@@ -49,6 +49,9 @@ class BertConfig:
     # mpnet relative attention bias
     relative_attention_num_buckets: int = 0
     relative_attention_max_distance: int = 128
+    # nomic-bert: rotary embeddings + swiglu ffn, fused Wqkv without bias
+    rotary_emb_base: float = 0.0   # >0 enables rotary (no position embeddings)
+    swiglu: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -104,6 +107,22 @@ class BertConfig:
                 activation=cfg.get("hidden_act", "gelu"),
                 position_offset=pad + 1,
                 relative_attention_num_buckets=cfg.get("relative_attention_num_buckets", 32),
+            )
+        if mt in ("nomic_bert", "nomic-bert"):
+            return BertConfig(
+                flavor="nomic",
+                vocab_size=cfg["vocab_size"],
+                hidden_size=cfg["n_embd"],
+                num_layers=cfg["n_layer"],
+                num_heads=cfg["n_head"],
+                intermediate_size=cfg.get("n_inner") or 4 * cfg["n_embd"],
+                max_position_embeddings=cfg.get("n_positions", 8192) or 8192,
+                type_vocab_size=cfg.get("type_vocab_size", 2),
+                pad_token_id=cfg.get("pad_token_id", 0),
+                layer_norm_eps=cfg.get("layer_norm_epsilon", 1e-12),
+                activation="silu",
+                rotary_emb_base=cfg.get("rotary_emb_base", 1000.0),
+                swiglu=cfg.get("activation_function", "swiglu") == "swiglu",
             )
         if mt == "bert":
             return BertConfig(
@@ -209,6 +228,51 @@ def load_params(ws: ModelWeights, cfg: BertConfig, dtype=np.float32) -> dict:
         rel = ws.get_f32(f"{pre}encoder.relative_attention_bias.weight").astype(dtype)
         return {"embeddings": emb, "layers": layers, "pooler": None, "rel_bias": rel}
 
+    if cfg.flavor == "nomic":
+        # NomicBERT layout (sentence_encoder/configs.rs:221 is_nomic branch):
+        # fused Wqkv without bias, out_proj, norm1/norm2, mlp fc11(gate)/fc12(up)/fc2
+        layer = [f"encoder.layers.{i}" for i in range(L)]
+        H = cfg.hidden_size
+        wqkv = np.stack([
+            np.asarray(ws.get(f"{n}.attn.Wqkv.weight"), dtype=np.float32).T
+            for n in layer])  # [L, H, 3H]
+        emb = {
+            "word": ws.get_f32("embeddings.word_embeddings.weight").astype(dtype),
+            "position": None,
+            "token_type": (
+                ws.get_f32("embeddings.token_type_embeddings.weight").astype(dtype)
+                if "embeddings.token_type_embeddings.weight" in ws else None),
+            "norm": {
+                "weight": ws.get_f32("emb_ln.weight").astype(dtype),
+                "bias": ws.get_f32("emb_ln.bias").astype(dtype),
+            },
+        }
+        layers = {
+            "q": {"w": wqkv[:, :, :H].astype(dtype)},
+            "k": {"w": wqkv[:, :, H:2 * H].astype(dtype)},
+            "v": {"w": wqkv[:, :, 2 * H:].astype(dtype)},
+            "o": {"w": np.stack([
+                np.asarray(ws.get(f"{n}.attn.out_proj.weight"),
+                           dtype=np.float32).T for n in layer]).astype(dtype)},
+            "attn_norm": _stack_norm(ws, [f"{n}.norm1" for n in layer], dtype),
+            "gate": {"w": np.stack([
+                np.asarray(ws.get(f"{n}.mlp.fc11.weight"),
+                           dtype=np.float32).T for n in layer]).astype(dtype)},
+            "up": {"w": np.stack([
+                np.asarray(ws.get(f"{n}.mlp.fc12.weight"),
+                           dtype=np.float32).T for n in layer]).astype(dtype)},
+            "fc2": {"w": np.stack([
+                np.asarray(ws.get(f"{n}.mlp.fc2.weight"),
+                           dtype=np.float32).T for n in layer]).astype(dtype)},
+            "ffn_norm": _stack_norm(ws, [f"{n}.norm2" for n in layer], dtype),
+        }
+        from ..ops.rope import rope_tables
+        cos, sin = rope_tables(cfg.head_dim, cfg.max_position_embeddings,
+                               theta=cfg.rotary_emb_base)
+        return {"embeddings": emb, "layers": layers, "pooler": None,
+                "rel_bias": None, "rope_cos": np.asarray(cos, dtype=np.float32),
+                "rope_sin": np.asarray(sin, dtype=np.float32)}
+
     # bert / roberta / xlm-roberta share the HF "encoder.layer" layout
     pre = _detect_prefix(
         ws, ["", "bert.", "roberta.", "xlm-roberta.", "model."],
@@ -281,14 +345,17 @@ def encode(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
     emb = params["embeddings"]
     x = jnp.take(emb["word"], input_ids, axis=0)
 
-    if cfg.position_offset > 0:
+    if cfg.rotary_emb_base > 0:
+        pass  # rotary models have no absolute position embeddings
+    elif cfg.position_offset > 0:
         # roberta/mpnet position ids: cumsum over the mask, pads pinned to pad idx
         mask_i = attention_mask.astype(jnp.int32)
         positions = jnp.cumsum(mask_i, axis=1) * mask_i + cfg.pad_token_id
+        x = x + jnp.take(emb["position"], positions, axis=0)
     else:
         positions = jnp.arange(input_ids.shape[1])[None, :]
         positions = jnp.broadcast_to(positions, input_ids.shape)
-    x = x + jnp.take(emb["position"], positions, axis=0)
+        x = x + jnp.take(emb["position"], positions, axis=0)
 
     if emb.get("token_type") is not None:
         if token_type_ids is None:
@@ -303,16 +370,35 @@ def encode(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
 
     act = get_activation(cfg.activation)
     H = cfg.num_heads
+    rotary = cfg.rotary_emb_base > 0
+    if rotary:
+        from ..ops.rope import apply_rope
+        seq = input_ids.shape[1]
+        rope_cos = params["rope_cos"][:seq]
+        rope_sin = params["rope_sin"][:seq]
 
     def layer_fn(h, lp):
-        q = split_heads(h @ lp["q"]["w"] + lp["q"]["b"], H)
-        k = split_heads(h @ lp["k"]["w"] + lp["k"]["b"], H)
-        v = split_heads(h @ lp["v"]["w"] + lp["v"]["b"], H)
+        q = h @ lp["q"]["w"]
+        k = h @ lp["k"]["w"]
+        v = h @ lp["v"]["w"]
+        if "b" in lp["q"]:
+            q = q + lp["q"]["b"]
+            k = k + lp["k"]["b"]
+            v = v + lp["v"]["b"]
+        q, k, v = split_heads(q, H), split_heads(k, H), split_heads(v, H)
+        if rotary:
+            q, k = apply_rope(q, k, rope_cos, rope_sin,
+                              jnp.arange(rope_cos.shape[0]))
         ctx = merge_heads(attention(q, k, v, bias))
-        attn_out = ctx @ lp["o"]["w"] + lp["o"]["b"]
+        attn_out = ctx @ lp["o"]["w"]
+        if "b" in lp["o"]:
+            attn_out = attn_out + lp["o"]["b"]
         h = layer_norm(h + attn_out, lp["attn_norm"]["weight"], lp["attn_norm"]["bias"],
                        cfg.layer_norm_eps)
-        ffn = act(h @ lp["fc1"]["w"] + lp["fc1"]["b"]) @ lp["fc2"]["w"] + lp["fc2"]["b"]
+        if cfg.swiglu:
+            ffn = (act(h @ lp["gate"]["w"]) * (h @ lp["up"]["w"])) @ lp["fc2"]["w"]
+        else:
+            ffn = act(h @ lp["fc1"]["w"] + lp["fc1"]["b"]) @ lp["fc2"]["w"] + lp["fc2"]["b"]
         h = layer_norm(h + ffn, lp["ffn_norm"]["weight"], lp["ffn_norm"]["bias"],
                        cfg.layer_norm_eps)
         return h, None
