@@ -1,0 +1,334 @@
+// kjarni C ABI — native shared library (libkjarni.so).
+//
+// Rebuild of crates/kjarni-ffi (src/lib.rs:36 kjarni_init + per-task files,
+// error.rs:85 thread-local last-error, callback.rs streaming): the same
+// handle-based C API surface, host-language-agnostic, consumable from C#, Go,
+// or C. The reference is a Rust cdylib around its own engine; the TPU rebuild
+// embeds CPython and drives the JAX/XLA engine through one narrow JSON bridge
+// (kjarni_tpu/ffi/bridge.py), so the ABI stays tiny and stable while the
+// engine evolves.
+//
+// Build: make -C native  (see native/Makefile). Header: native/kjarni.h.
+
+#include <Python.h>
+
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <string>
+
+#define KJARNI_API extern "C" __attribute__((visibility("default")))
+
+static thread_local std::string g_last_error;
+static std::mutex g_init_mutex;
+static bool g_initialized = false;
+static bool g_owns_interpreter = false;
+static PyObject* g_bridge = nullptr;  // kjarni_tpu.ffi.bridge module
+
+static void set_error(const std::string& msg) { g_last_error = msg; }
+
+static void set_error_from_python() {
+  PyObject *type, *value, *tb;
+  PyErr_Fetch(&type, &value, &tb);
+  PyErr_NormalizeException(&type, &value, &tb);
+  std::string msg = "python error";
+  if (value) {
+    PyObject* s = PyObject_Str(value);
+    if (s) {
+      const char* c = PyUnicode_AsUTF8(s);
+      if (c) msg = c;
+      Py_DECREF(s);
+    }
+  }
+  Py_XDECREF(type);
+  Py_XDECREF(value);
+  Py_XDECREF(tb);
+  set_error(msg);
+}
+
+// Call bridge.<fn>(args...) with the GIL held; returns new reference or null.
+static PyObject* bridge_call(const char* fn, PyObject* args) {
+  PyObject* f = PyObject_GetAttrString(g_bridge, fn);
+  if (!f) {
+    set_error_from_python();
+    return nullptr;
+  }
+  PyObject* result = PyObject_CallObject(f, args);
+  Py_DECREF(f);
+  if (!result) set_error_from_python();
+  return result;
+}
+
+struct GilGuard {
+  PyGILState_STATE state;
+  GilGuard() : state(PyGILState_Ensure()) {}
+  ~GilGuard() { PyGILState_Release(state); }
+};
+
+// ---------------------------------------------------------------------------
+// lifecycle (kjarni-ffi/src/lib.rs:36 kjarni_init / kjarni_shutdown / version)
+// ---------------------------------------------------------------------------
+
+KJARNI_API int kjarni_init(void) {
+  std::lock_guard<std::mutex> lock(g_init_mutex);
+  if (g_initialized) return 0;
+  if (!Py_IsInitialized()) {
+    Py_InitializeEx(0);
+    g_owns_interpreter = true;
+  }
+  GilGuard gil;
+  PyObject* mod = PyImport_ImportModule("kjarni_tpu.ffi.bridge");
+  if (!mod) {
+    set_error_from_python();
+    return -1;
+  }
+  g_bridge = mod;  // keep the reference for process lifetime
+  g_initialized = true;
+  return 0;
+}
+
+KJARNI_API void kjarni_shutdown(void) {
+  std::lock_guard<std::mutex> lock(g_init_mutex);
+  if (!g_initialized) return;
+  {
+    GilGuard gil;
+    Py_CLEAR(g_bridge);
+  }
+  // The interpreter stays up if the host started it; finalizing a JAX-laden
+  // interpreter mid-process is riskier than leaving it resident.
+  g_initialized = false;
+}
+
+KJARNI_API const char* kjarni_version(void) { return "0.1.0"; }
+
+KJARNI_API const char* kjarni_last_error(void) {
+  return g_last_error.c_str();
+}
+
+// ---------------------------------------------------------------------------
+// generic object model: new / call / free
+// ---------------------------------------------------------------------------
+
+KJARNI_API long long kjarni_new(const char* task, const char* json_options) {
+  if (!g_initialized) {
+    set_error("kjarni_init() has not been called");
+    return 0;
+  }
+  GilGuard gil;
+  PyObject* args = Py_BuildValue("(ss)", task, json_options ? json_options : "{}");
+  PyObject* r = bridge_call("create", args);
+  Py_DECREF(args);
+  if (!r) return 0;
+  long long h = PyLong_AsLongLong(r);
+  Py_DECREF(r);
+  return h;
+}
+
+KJARNI_API void kjarni_free(long long handle) {
+  if (!g_initialized) return;
+  GilGuard gil;
+  PyObject* args = Py_BuildValue("(L)", handle);
+  PyObject* r = bridge_call("destroy", args);
+  Py_DECREF(args);
+  Py_XDECREF(r);
+}
+
+// Returns a malloc'd JSON string (caller frees with kjarni_string_free), or
+// null on error (see kjarni_last_error).
+KJARNI_API char* kjarni_call(long long handle, const char* method,
+                             const char* json_args) {
+  if (!g_initialized) {
+    set_error("kjarni_init() has not been called");
+    return nullptr;
+  }
+  GilGuard gil;
+  PyObject* args =
+      Py_BuildValue("(Lss)", handle, method, json_args ? json_args : "{}");
+  PyObject* r = bridge_call("call", args);
+  Py_DECREF(args);
+  if (!r) return nullptr;
+  const char* c = PyUnicode_AsUTF8(r);
+  char* out = c ? strdup(c) : nullptr;
+  Py_DECREF(r);
+  return out;
+}
+
+KJARNI_API void kjarni_string_free(char* s) { free(s); }
+
+// ---------------------------------------------------------------------------
+// streaming (kjarni-ffi/src/callback.rs): pull-based token stream
+// ---------------------------------------------------------------------------
+
+KJARNI_API int kjarni_stream_start(long long handle, const char* method,
+                                   const char* json_args) {
+  if (!g_initialized) {
+    set_error("kjarni_init() has not been called");
+    return -1;
+  }
+  GilGuard gil;
+  PyObject* args =
+      Py_BuildValue("(Lss)", handle, method, json_args ? json_args : "{}");
+  PyObject* r = bridge_call("stream_start", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  Py_DECREF(r);
+  return 0;
+}
+
+// Next token text (malloc'd), or null at end-of-stream / error.
+KJARNI_API char* kjarni_stream_next(long long handle) {
+  if (!g_initialized) return nullptr;
+  GilGuard gil;
+  PyObject* args = Py_BuildValue("(L)", handle);
+  PyObject* r = bridge_call("stream_next", args);
+  Py_DECREF(args);
+  if (!r) return nullptr;
+  if (r == Py_None) {
+    Py_DECREF(r);
+    return nullptr;
+  }
+  const char* c = PyUnicode_AsUTF8(r);
+  char* out = c ? strdup(c) : nullptr;
+  Py_DECREF(r);
+  return out;
+}
+
+KJARNI_API void kjarni_stream_cancel(long long handle) {
+  if (!g_initialized) return;
+  GilGuard gil;
+  PyObject* args = Py_BuildValue("(L)", handle);
+  PyObject* r = bridge_call("stream_cancel", args);
+  Py_DECREF(args);
+  Py_XDECREF(r);
+}
+
+// ---------------------------------------------------------------------------
+// typed convenience wrappers (same names as kjarni-ffi per-task files)
+// ---------------------------------------------------------------------------
+
+static long long typed_new(const char* task, const char* model) {
+  std::string opts = "{}";
+  if (model && *model) {
+    opts = std::string("{\"model\": \"") + model + "\"}";
+  }
+  return kjarni_new(task, opts.c_str());
+}
+
+KJARNI_API long long kjarni_embedder_new(const char* model) {
+  return typed_new("embedder", model);
+}
+KJARNI_API long long kjarni_classifier_new(const char* model) {
+  return typed_new("classifier", model);
+}
+KJARNI_API long long kjarni_reranker_new(const char* model) {
+  return typed_new("reranker", model);
+}
+KJARNI_API long long kjarni_chat_new(const char* model) {
+  return typed_new("chat", model);
+}
+KJARNI_API long long kjarni_indexer_new(const char* model) {
+  return typed_new("indexer", model);
+}
+KJARNI_API long long kjarni_searcher_new(const char* model) {
+  return typed_new("searcher", model);
+}
+
+// Embed into caller-provided buffer; returns the dimension or -1.
+KJARNI_API int kjarni_embedder_embed(long long h, const char* text, float* out,
+                                     int out_capacity) {
+  if (!g_initialized) {
+    set_error("kjarni_init() has not been called");
+    return -1;
+  }
+  GilGuard gil;
+  PyObject* json_mod = PyImport_ImportModule("json");
+  if (!json_mod) {
+    set_error_from_python();
+    return -1;
+  }
+  PyObject* payload = Py_BuildValue("{s:s}", "text", text);
+  PyObject* args_str = PyObject_CallMethod(json_mod, "dumps", "O", payload);
+  Py_DECREF(payload);
+  Py_DECREF(json_mod);
+  if (!args_str) {
+    set_error_from_python();
+    return -1;
+  }
+  PyObject* args =
+      Py_BuildValue("(LsO)", h, "embed", args_str);
+  Py_DECREF(args_str);
+  PyObject* r = bridge_call("call", args);
+  Py_DECREF(args);
+  if (!r) return -1;
+  // parse {"embedding": [...]} back out
+  PyObject* json_mod2 = PyImport_ImportModule("json");
+  PyObject* obj = PyObject_CallMethod(json_mod2, "loads", "O", r);
+  Py_DECREF(json_mod2);
+  Py_DECREF(r);
+  if (!obj) {
+    set_error_from_python();
+    return -1;
+  }
+  PyObject* vec = PyDict_GetItemString(obj, "embedding");  // borrowed
+  if (!vec || !PyList_Check(vec)) {
+    Py_DECREF(obj);
+    set_error("malformed embed result");
+    return -1;
+  }
+  Py_ssize_t n = PyList_Size(vec);
+  if (out && out_capacity > 0) {
+    Py_ssize_t m = n < out_capacity ? n : out_capacity;
+    for (Py_ssize_t i = 0; i < m; ++i) {
+      out[i] = (float)PyFloat_AsDouble(PyList_GetItem(vec, i));
+    }
+  }
+  Py_DECREF(obj);
+  return (int)n;
+}
+
+KJARNI_API float kjarni_embedder_similarity(long long h, const char* a,
+                                            const char* b) {
+  char buf[1024];
+  snprintf(buf, sizeof(buf), "{\"a\": \"%s\", \"b\": \"%s\"}", a, b);
+  char* r = kjarni_call(h, "similarity", buf);
+  if (!r) return -2.0f;
+  float v = -2.0f;
+  const char* p = strstr(r, ":");
+  if (p) v = (float)atof(p + 1);
+  kjarni_string_free(r);
+  return v;
+}
+
+KJARNI_API char* kjarni_classifier_classify(long long h, const char* text) {
+  GilGuard gil;
+  PyObject* json_mod = PyImport_ImportModule("json");
+  PyObject* payload = Py_BuildValue("{s:s}", "text", text);
+  PyObject* args_str = PyObject_CallMethod(json_mod, "dumps", "O", payload);
+  Py_DECREF(payload);
+  Py_DECREF(json_mod);
+  if (!args_str) {
+    set_error_from_python();
+    return nullptr;
+  }
+  const char* s = PyUnicode_AsUTF8(args_str);
+  std::string json_args = s ? s : "{}";
+  Py_DECREF(args_str);
+  return kjarni_call(h, "classify", json_args.c_str());
+}
+
+KJARNI_API char* kjarni_chat_send(long long h, const char* message) {
+  GilGuard gil;
+  PyObject* json_mod = PyImport_ImportModule("json");
+  PyObject* payload = Py_BuildValue("{s:s}", "message", message);
+  PyObject* args_str = PyObject_CallMethod(json_mod, "dumps", "O", payload);
+  Py_DECREF(payload);
+  Py_DECREF(json_mod);
+  if (!args_str) {
+    set_error_from_python();
+    return nullptr;
+  }
+  const char* s = PyUnicode_AsUTF8(args_str);
+  std::string json_args = s ? s : "{}";
+  Py_DECREF(args_str);
+  return kjarni_call(h, "send", json_args.c_str());
+}
