@@ -157,6 +157,57 @@ class DecoderLM:
         self._steps[key] = step
         return step
 
+    def _fused_loop_fn(self, gen: GenerationConfig):
+        """Whole decode loop fused on device (lax.while_loop with on-device
+        EOS exit) — one dispatch + one readback per generation. Used by the
+        non-streaming generate(); the reference's per-token loop
+        (generator.rs:314) survives as generate_stream for streaming."""
+        key = ("fused", gen.strategy, gen.sampling, gen.repetition_penalty,
+               gen.no_repeat_ngram_size)
+        fn = self._steps.get(key)
+        if fn is not None:
+            return fn
+        cfg = self.config
+        fwd = self.family.forward
+        greedy = gen.strategy == "greedy"
+        sp = gen.sampling
+        pen, ngram = gen.repetition_penalty, gen.no_repeat_ngram_size
+        stop_ids = jnp.asarray(sorted(self.stop_token_ids) or [-1],
+                               dtype=jnp.int32)
+
+        @partial(jax.jit, donate_argnums=(1, 2, 4),
+                 static_argnames=("max_steps",))
+        def fused(params, ck, cv, logits, history, hist_len0, rng, *,
+                  max_steps):
+            out = jnp.full((max_steps,), -1, jnp.int32)
+
+            def cond(state):
+                i, done, *_ = state
+                return (i < max_steps) & jnp.logical_not(done)
+
+            def body(state):
+                i, done, logits, ck, cv, history, rng, out = state
+                lg = process_logits(logits, history, hist_len0 + i, pen, ngram)
+                rng, sub = jax.random.split(rng)
+                tok = sample_token(lg, sub, sp, greedy)
+                is_stop = jnp.any(tok == stop_ids)
+                out = out.at[i].set(jnp.where(is_stop, -1, tok))
+                history = history.at[hist_len0 + i].set(tok, mode="drop")
+                new_logits, ck, cv = fwd(params, cfg, tok[None, None], ck, cv,
+                                         hist_len0 + i)
+                return (i + 1, is_stop, new_logits[0], ck, cv, history, rng,
+                        out)
+
+            i, done, logits, ck, cv, history, rng, out = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), jnp.bool_(False), logits, ck, cv, history, rng,
+                 out))
+            n = i - done.astype(jnp.int32)  # drop the stop token if emitted
+            return out, n, ck, cv, history
+
+        self._steps[key] = fused
+        return fused
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -244,8 +295,52 @@ class DecoderLM:
     def generate(self, prompt: Optional[str] = None, *,
                  token_ids: Optional[Sequence[int]] = None,
                  config: Optional[GenerationConfig] = None,
-                 cancellation: Optional[CancellationToken] = None) -> str:
-        """Blocking generation returning the full completion."""
-        parts = [st.text for st in self.generate_stream(
-            prompt, token_ids=token_ids, config=config, cancellation=cancellation)]
-        return "".join(parts)
+                 cancellation: Optional[CancellationToken] = None,
+                 fused: bool = True) -> str:
+        """Blocking generation returning the full completion.
+
+        With fused=True (default) the whole decode loop runs on device; with
+        fused=False it reuses the streaming per-token loop.
+        """
+        if not fused or cancellation is not None:
+            parts = [st.text for st in self.generate_stream(
+                prompt, token_ids=token_ids, config=config,
+                cancellation=cancellation)]
+            return "".join(parts)
+
+        gen = config or GenerationConfig()
+        if token_ids is None:
+            if prompt is None:
+                raise GenerationError("either prompt or token_ids is required")
+            token_ids = self.encode_prompt(prompt, gen.add_bos_token)
+        ids = list(token_ids)[: self.max_context - 1]
+        if not ids:
+            raise GenerationError("empty prompt")
+        prompt_len = len(ids)
+
+        ck, cv = self._ensure_cache()
+        bucket = seq_bucket(prompt_len, self.max_context)
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :prompt_len] = ids
+        use_flash = self._flash_ok and bucket >= self._flash_min_seq
+        logits, ck, cv = self._prefill(self.params, ck, cv, jnp.asarray(padded),
+                                       prompt_len - 1, use_flash=use_flash)
+
+        history = np.zeros(self.max_context, dtype=np.int32)
+        history[:prompt_len] = ids
+        max_new = gen.max_new_tokens if gen.max_new_tokens is not None else \
+            max(gen.max_length - prompt_len, 0)
+        max_steps = max(min(max_new, self.max_context - prompt_len - 1,
+                            gen.max_length - prompt_len), 0)
+        if max_steps == 0:
+            self._cache = (ck, cv)
+            return ""
+        seed = gen.seed if gen.seed is not None else _random.getrandbits(31)
+        fused_fn = self._fused_loop_fn(gen)
+        out, n, ck, cv, _ = fused_fn(
+            self.params, ck, cv, logits, jnp.asarray(history),
+            jnp.int32(prompt_len), jax.random.PRNGKey(seed),
+            max_steps=int(max_steps))
+        self._cache = (ck, cv)
+        toks = [int(t) for t in np.asarray(out[:int(n)]) if t >= 0]
+        return self.tokenizer.decode(toks, skip_special_tokens=True)

@@ -118,6 +118,41 @@ class WhisperModel:
         self._prefill = _prefill
         self._step = _step
 
+        @partial(jax.jit, donate_argnums=(2, 3),
+                 static_argnames=("max_steps", "prompt_len"))
+        def _decode_loop(params, prompt_ids, sk, sv, ck, cv, allow, *,
+                         max_steps, prompt_len):
+            """Whole greedy decode fused on device: prefill + while_loop until
+            EOT. One dispatch + one small readback per chunk — the per-token
+            host sync (and its latency) disappears."""
+            enc_mask = jnp.ones((1, cfg.max_source_positions), jnp.int32)
+            logits, sk, sv = kwhisper.decode_step(params, cfg, prompt_ids,
+                                                  sk, sv, ck, cv, enc_mask, 0)
+            tok = jnp.argmax(jnp.where(allow, logits[0, -1], -jnp.inf)
+                             ).astype(jnp.int32)
+            out = jnp.full((max_steps + 1,), EOT_TOKEN, jnp.int32)
+            out = out.at[0].set(tok)
+
+            def cond(state):
+                i, tok, *_ = state
+                return (i < max_steps) & (tok != EOT_TOKEN)
+
+            def body(state):
+                i, tok, out, sk, sv = state
+                logits, sk, sv = kwhisper.decode_step(
+                    params, cfg, tok[None, None], sk, sv, ck, cv, enc_mask,
+                    prompt_len + i)
+                nxt = jnp.argmax(jnp.where(allow, logits[0, -1], -jnp.inf)
+                                 ).astype(jnp.int32)
+                out = out.at[i + 1].set(nxt)
+                return i + 1, nxt, out, sk, sv
+
+            n, tok, out, sk, sv = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tok, out, sk, sv))
+            return out, n + 1, sk, sv
+
+        self._decode_loop = _decode_loop
+
     # ------------------------------------------------------------------
 
     def chunk_audio(self, audio: np.ndarray) -> list[np.ndarray]:
@@ -159,11 +194,17 @@ class WhisperModel:
                                           self.params["embed"].dtype)
         allow = self._allow_ts if config.timestamps else self._allow_no_ts
 
-        # pad prompt to a small bucket and prefill
-        pbucket = seq_bucket(len(prompt))
-        pids = np.full((1, pbucket), EOT_TOKEN, dtype=np.int32)
-        pids[0, :len(prompt)] = prompt
-        # note: prompt is tiny; run unpadded to keep last_idx exact
+        if on_token is None:
+            # fused path: entire greedy loop on device, one readback per chunk
+            max_steps = min(config.max_tokens_per_chunk,
+                            cache_len - len(prompt) - 1)
+            out, n, sk, sv = self._decode_loop(
+                self.params, jnp.asarray([prompt], jnp.int32), sk, sv, ck, cv,
+                allow, max_steps=max_steps, prompt_len=len(prompt))
+            generated = [int(t) for t in np.asarray(out[:int(n)])]
+            return self._finalize_chunk(generated, config, chunk_time_offset)
+
+        # streaming path: per-token host sync for the callback
         tok, sk, sv = self._prefill(self.params, jnp.asarray([prompt], jnp.int32),
                                     sk, sv, ck, cv, allow)
 

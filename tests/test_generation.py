@@ -136,3 +136,33 @@ class TestChatTemplates:
         prompt = lm.apply_chat_template(conv)
         assert prompt.startswith("<|begin_of_text|>")
         assert prompt.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+
+class TestFusedGenerate:
+    def test_fused_matches_streaming_greedy(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        cfg = GenerationConfig.greedy(max_new_tokens=10, max_length=64)
+        streamed = "".join(st.text for st in lm.generate_stream("hello world the",
+                                                                config=cfg))
+        fused = lm.generate("hello world the", config=cfg, fused=True)
+        assert fused == streamed
+
+    def test_fused_matches_streaming_sampled(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        cfg = GenerationConfig(max_new_tokens=8, max_length=64, seed=42,
+                               sampling=SamplingParams(temperature=1.0, top_k=10,
+                                                       top_p=None, min_p=None))
+        streamed = "".join(st.text for st in lm.generate_stream("hello", config=cfg))
+        fused = lm.generate("hello", config=cfg, fused=True)
+        assert fused == streamed
+
+    def test_fused_respects_max_new(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        out = lm.generate("hello world",
+                          config=GenerationConfig.greedy(max_new_tokens=3,
+                                                         max_length=64))
+        n = len(lm.tokenizer.encode(out)) if out else 0
+        assert n <= 4
