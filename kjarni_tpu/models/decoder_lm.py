@@ -85,7 +85,20 @@ class DecoderLM:
         self._cache_dtype = dtype
         self._cache = None  # allocated lazily, reused across generations
 
-        self.tokenizer = KjarniTokenizer.from_file(model_dir / "tokenizer.json")
+        tok_path = model_dir / "tokenizer.json"
+        if tok_path.exists():
+            self.tokenizer = KjarniTokenizer.from_file(tok_path)
+        else:
+            # GGUF files embed vocab+merges; build the in-tree BPE from them
+            from ..tokenizer_native import bpe_from_gguf_metadata
+            bpe = None
+            if hasattr(ws, "metadata"):
+                bpe = bpe_from_gguf_metadata(ws.metadata)
+            if bpe is None:
+                raise InvalidConfigError(
+                    f"no tokenizer.json in {model_dir} and no GGUF-embedded "
+                    f"tokenizer available")
+            self.tokenizer = bpe
         self.chat_template: ChatTemplate = template_for_arch(cfg.arch)
 
         # stop tokens: generation_config.json eos wins over config.json
