@@ -1,0 +1,197 @@
+"""HTTP serving: expose the task APIs over JSON endpoints.
+
+The reference ships as an embeddable cdylib + WASM modules — its deployment
+story is "link kjarni into your app". A TPU engine deploys server-side, so the
+equivalent here is a dependency-free stdlib HTTP server wrapping the same task
+objects (plus the C ABI in native/ for embedding):
+
+  POST /v1/classify   {"text": ..., "model": ...}
+  POST /v1/embed      {"text": ... | "texts": [...]}
+  POST /v1/similarity {"a": ..., "b": ...}
+  POST /v1/rerank     {"query": ..., "documents": [...]}
+  POST /v1/generate   {"prompt": ..., "max_new_tokens": ...}
+  POST /v1/chat       {"message": ...} (stateful per session id)
+  POST /v1/search     {"index": ..., "query": ..., "mode": ...}
+  GET  /v1/models
+  GET  /health
+
+Run: python -m kjarni_tpu.serve --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable
+
+from . import registry
+from .core.errors import KjarniError
+
+
+class _Engine:
+    """Lazy per-model task cache shared by all request threads."""
+
+    def __init__(self, default_models: dict[str, str] | None = None,
+                 quiet: bool = True):
+        self._lock = threading.Lock()
+        self._cache: dict[tuple[str, str], Any] = {}
+        self.defaults = {
+            "classify": "distilbert-sentiment",
+            "embed": "minilm-l6-v2",
+            "rerank": "minilm-l6-v2-cross-encoder",
+            "generate": "qwen2.5-0.5b-instruct",
+            "chat": "qwen2.5-0.5b-instruct",
+            "search": "minilm-l6-v2",
+        }
+        self.defaults.update(default_models or {})
+        self.quiet = quiet
+
+    def get(self, kind: str, model: str | None):
+        model = model or self.defaults[kind]
+        key = (kind, model)
+        with self._lock:
+            obj = self._cache.get(key)
+            if obj is not None:
+                return obj
+        if kind == "classify":
+            from .tasks.classifier import Classifier
+            obj = Classifier(model, quiet=self.quiet)
+        elif kind == "embed":
+            from .tasks.embedder import Embedder
+            obj = Embedder(model, quiet=self.quiet)
+        elif kind == "rerank":
+            from .tasks.reranker import Reranker
+            obj = Reranker(model, quiet=self.quiet)
+        elif kind in ("generate",):
+            from .tasks.generator import Generator
+            obj = Generator(model, quiet=self.quiet)
+        elif kind == "chat":
+            from .tasks.chat import Chat
+            obj = Chat(model, quiet=self.quiet)
+        elif kind == "search":
+            from .tasks.searcher import Searcher
+            obj = Searcher(model, quiet=self.quiet)
+        else:
+            raise KjarniError(f"unknown task kind '{kind}'")
+        with self._lock:
+            self._cache[key] = obj
+        return obj
+
+    # ------------------------------------------------------------------
+
+    def handle(self, path: str, body: dict) -> dict:
+        model = body.get("model")
+        if path == "/v1/classify":
+            clf = self.get("classify", model)
+            if "texts" in body:
+                return {"results": [
+                    {"label": r.label, "score": r.score,
+                     "all_scores": dict(r.all_scores)}
+                    for r in clf.classify_batch(body["texts"])]}
+            r = clf.classify(body["text"])
+            return {"label": r.label, "score": r.score,
+                    "all_scores": dict(r.all_scores)}
+        if path == "/v1/embed":
+            emb = self.get("embed", model)
+            if "texts" in body:
+                vecs = emb.embed_batch(body["texts"])
+                return {"dim": int(vecs.shape[1]) if len(vecs) else emb.dim,
+                        "embeddings": [[float(x) for x in v] for v in vecs]}
+            v = emb.embed(body["text"])
+            return {"dim": len(v), "embedding": [float(x) for x in v]}
+        if path == "/v1/similarity":
+            emb = self.get("embed", model)
+            return {"similarity": emb.similarity(body["a"], body["b"])}
+        if path == "/v1/rerank":
+            rr = self.get("rerank", model)
+            results = rr.rerank(body["query"], body["documents"])
+            top_k = body.get("top_k")
+            if top_k:
+                results = results[:top_k]
+            return {"results": [{"index": r.index, "score": r.score,
+                                 "text": r.text} for r in results]}
+        if path == "/v1/generate":
+            gen = self.get("generate", model)
+            kw = {}
+            for k in ("max_new_tokens", "preset"):
+                if k in body:
+                    kw[k] = body[k]
+            return {"text": gen.generate(body["prompt"], **kw)}
+        if path == "/v1/chat":
+            chat = self.get("chat", model)
+            return {"reply": chat.send(body["message"])}
+        if path == "/v1/search":
+            s = self.get("search", model)
+            results = s.search(body["index"], body["query"],
+                               mode=body.get("mode", "hybrid"),
+                               top_k=body.get("top_k", 10))
+            return {"results": [{"score": r.score, "text": r.text,
+                                 "metadata": r.metadata} for r in results]}
+        raise KjarniError(f"unknown endpoint {path}")
+
+
+def make_handler(engine: _Engine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._reply(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._reply(200, {"models": [
+                    {"name": m.cli_name, "task": m.task.value,
+                     "architecture": m.architecture.value,
+                     "downloaded": registry.is_downloaded(m)}
+                    for m in registry.all_models()]})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                self._reply(200, engine.handle(self.path, body))
+            except KjarniError as e:
+                self._reply(400, {"error": str(e)})
+            except (KeyError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+            except Exception as e:  # noqa: BLE001 — server must not die
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(host: str = "127.0.0.1", port: int = 8000,
+          default_models: dict[str, str] | None = None) -> ThreadingHTTPServer:
+    engine = _Engine(default_models)
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    return server
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="kjarni HTTP server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args(argv)
+    server = serve(args.host, args.port)
+    print(f"kjarni serving on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

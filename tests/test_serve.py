@@ -1,0 +1,78 @@
+"""HTTP serving tests: real server on a loopback port, urllib client."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from helpers import tiny_bert_dir
+
+from kjarni_tpu.serve import _Engine, make_handler
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from http.server import ThreadingHTTPServer
+    clf_dir = tmp_path_factory.mktemp("srv_clf")
+    tiny_bert_dir(clf_dir, num_labels=2, seed=31)
+    emb_dir = tmp_path_factory.mktemp("srv_emb")
+    tiny_bert_dir(emb_dir, seed=32)
+    engine = _Engine({"classify": str(clf_dir), "embed": str(emb_dir)})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestServe:
+    def test_health(self, server):
+        with urllib.request.urlopen(server + "/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+    def test_models_listing(self, server):
+        with urllib.request.urlopen(server + "/v1/models") as r:
+            models = json.loads(r.read())["models"]
+        assert any(m["name"] == "minilm-l6-v2" for m in models)
+
+    def test_classify(self, server):
+        code, out = post(server, "/v1/classify", {"text": "i love this product"})
+        assert code == 200
+        assert out["label"] in ("NEGATIVE", "POSITIVE")
+        assert abs(sum(out["all_scores"].values()) - 1.0) < 1e-5
+
+    def test_embed_and_similarity(self, server):
+        code, out = post(server, "/v1/embed", {"text": "hello world"})
+        assert code == 200
+        assert out["dim"] == len(out["embedding"])
+        assert abs(np.linalg.norm(out["embedding"]) - 1.0) < 1e-4
+        code, out = post(server, "/v1/similarity", {"a": "doctor", "b": "doctor"})
+        assert code == 200
+        assert out["similarity"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_embed_batch(self, server):
+        code, out = post(server, "/v1/embed", {"texts": ["a doctor", "b nurse"]})
+        assert code == 200
+        assert len(out["embeddings"]) == 2
+
+    def test_bad_request(self, server):
+        code, out = post(server, "/v1/classify", {"wrong_key": 1})
+        assert code == 400
+        assert "error" in out
+
+    def test_unknown_endpoint(self, server):
+        code, out = post(server, "/v1/nope", {})
+        assert code in (400, 404)
