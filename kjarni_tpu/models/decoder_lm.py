@@ -42,11 +42,27 @@ from . import llama as kllama
 DEFAULT_MAX_CONTEXT = 4096
 
 
+def resolve_dtype(dtype):
+    """"auto" -> bf16 on accelerators, f32 on CPU (ModelLoadConfig
+    target_dtype analogue, models/base.rs:118)."""
+    if dtype in ("auto", None):
+        import ml_dtypes
+        return (ml_dtypes.bfloat16
+                if jax.devices()[0].platform != "cpu" else np.float32)
+    if isinstance(dtype, str):
+        import ml_dtypes
+        return {"f32": np.float32, "float32": np.float32,
+                "bf16": ml_dtypes.bfloat16,
+                "bfloat16": ml_dtypes.bfloat16}[dtype]
+    return dtype
+
+
 class DecoderLM:
     """A causal LM ready for generation (cf. DecoderLanguageModel traits.rs:272)."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32,
+    def __init__(self, model_dir: Path, dtype="auto",
                  max_context: Optional[int] = None):
+        dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
         # weights source: safetensors preferred, GGUF fallback (gguf_loader.rs)

@@ -29,6 +29,7 @@ class Chat:
                  device: Device | str | None = None,
                  cache_dir: Optional[Path] = None,
                  max_context: Optional[int] = None,
+                 dtype: str = "auto",
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -37,7 +38,7 @@ class Chat:
             model, cache_dir, policy, quiet, _CHAT_TASKS, "chat")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._lm = DecoderLM(model_dir, max_context=max_context)
+        self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context)
         if system_prompt is None:
             system_prompt = self._lm.chat_template.default_system_prompt()
         self._conversation = (Conversation.with_system(system_prompt)
