@@ -241,29 +241,40 @@ def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
 
 def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
                cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start,
-               use_flash: bool = False):
+               use_flash: bool = False, positions: Optional[jnp.ndarray] = None,
+               pad_mask: Optional[jnp.ndarray] = None):
     """Embed -> scanned layer stack -> final norm. Shared by prefill/decode.
 
     `use_flash` (static) routes attention through the Pallas flash kernel —
     valid only for a from-zero prefill (pos_start==0, no sliding window),
     where attending over the fresh K/V block equals attending over the cache.
+
+    Batched generation with ragged prompts passes `positions` [B, S] (per-row
+    absolute RoPE positions under LEFT padding; cache slots stay shared) and
+    `pad_mask` [B, T] (1 = real kv slot) — cf. tokenize_batch left padding,
+    models/base.rs:289.
     """
     B, S = ids.shape
     T = cache_k.shape[3]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], ids, axis=0)
 
-    positions = pos_start + jnp.arange(S)
+    slot_q = pos_start + jnp.arange(S)
+    if positions is None:
+        positions = slot_q  # [S], shared across rows
     cos = jnp.take(params["rope_cos"], positions, axis=0)
     sin = jnp.take(params["rope_sin"], positions, axis=0)
 
-    # causal bias over the whole cache: query at pos_start+i sees kv j <= that
-    qi = positions[:, None]
+    # causal bias over cache SLOTS: query slot i sees kv slots j <= i
+    qi = slot_q[:, None]
     kj = jnp.arange(T)[None, :]
     bias = jnp.where(kj <= qi, 0.0, NEG_INF)
     if cfg.sliding_window:
         bias = jnp.where(kj > qi - cfg.sliding_window, bias, NEG_INF)
     bias = bias[None, None, :, :]  # [1, 1, S, T]
+    if pad_mask is not None:
+        bias = bias + jnp.where(pad_mask.astype(bool), 0.0,
+                                NEG_INF)[:, None, None, :]
 
     def layer_fn(h, xs):
         lp, kc, vc = xs
@@ -280,8 +291,16 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
         q = q.reshape(B, S, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
-        # tables were pre-gathered at `positions`, so index them 0..S here
-        q, k = apply_rope(q, k, cos, sin, jnp.arange(S))
+        # tables were pre-gathered at `positions`: index 0..S (shared) or
+        # per-row via broadcast (cos is [B, S, D] for batched generation)
+        if cos.ndim == 3:
+            c = cos[:, None].astype(q.dtype)
+            si = sin[:, None].astype(q.dtype)
+            from ..ops.rope import rotate_half
+            q = q * c + rotate_half(q) * si
+            k = k * c + rotate_half(k) * si
+        else:
+            q, k = apply_rope(q, k, cos, sin, jnp.arange(S))
         kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos_start, 0))
         vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos_start, 0))
         if use_flash:
@@ -302,7 +321,9 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
 
 def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
             cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start: jnp.ndarray,
-            last_idx: Optional[jnp.ndarray] = None, use_flash: bool = False):
+            last_idx: Optional[jnp.ndarray] = None, use_flash: bool = False,
+            positions: Optional[jnp.ndarray] = None,
+            pad_mask: Optional[jnp.ndarray] = None):
     """One decoder pass, shared by prefill and decode.
 
     ids: [B, S] tokens whose absolute positions are pos_start + arange(S).
@@ -314,7 +335,7 @@ def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     attended — decode steps overwrite slot p before any query reaches p.
     """
     x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v,
-                                     pos_start, use_flash)
+                                     pos_start, use_flash, positions, pad_mask)
     if last_idx is None:
         last_idx = ids.shape[1] - 1
     last = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)

@@ -118,6 +118,8 @@ class _Engine:
             for k in ("max_new_tokens", "preset"):
                 if k in body:
                     kw[k] = body[k]
+            if "prompts" in body:
+                return {"texts": gen.generate_batch(body["prompts"], **kw)}
             return {"text": gen.generate(body["prompt"], **kw)}
         if path == "/v1/chat":
             chat = self.get("chat", model)

@@ -69,6 +69,14 @@ class Generator:
         cfg = resolve_generation_config(preset, config, **overrides)
         return self._lm.generate(prompt, config=cfg, cancellation=cancellation)
 
+    def generate_batch(self, prompts: list[str], *,
+                       preset: Optional[str] = None,
+                       config: Optional[GenerationConfig] = None,
+                       **overrides) -> list[str]:
+        """Batched decode for aggregate throughput (left-padded ragged rows)."""
+        cfg = resolve_generation_config(preset, config, **overrides)
+        return self._lm.generate_batch(prompts, config=cfg)
+
     def generate_stream(self, prompt: str, *, preset: Optional[str] = None,
                         config: Optional[GenerationConfig] = None,
                         cancellation: Optional[CancellationToken] = None,

@@ -166,3 +166,27 @@ class TestFusedGenerate:
                                                          max_length=64))
         n = len(lm.tokenizer.encode(out)) if out else 0
         assert n <= 4
+
+
+class TestBatchGenerate:
+    def test_batch_greedy_matches_individual(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        prompts = ["hello world", "the doctor and the physician went",
+                   "keeping data safe"]
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=64)
+        batch = lm.generate_batch(prompts, config=cfg)
+        singles = [lm.generate(p, config=cfg) for p in prompts]
+        assert batch == singles
+
+    def test_batch_empty(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        assert lm.generate_batch([]) == []
+
+    def test_batch_single(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, max_context=64)
+        cfg = GenerationConfig.greedy(max_new_tokens=5, max_length=64)
+        assert lm.generate_batch(["hello"], config=cfg) == \
+            [lm.generate("hello", config=cfg)]
