@@ -65,16 +65,19 @@ class DecoderLM:
         dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
-        # weights source: safetensors preferred, GGUF fallback (gguf_loader.rs)
+        # weights source priority: native checkpoint > safetensors > GGUF
+        # (gguf_loader.rs fallback order, plus the Orbax fast path)
+        from ..weights.checkpoint import has_checkpoint
         gguf_path = model_dir / "model.gguf"
         has_safetensors = (model_dir / "model.safetensors").exists() or \
             (model_dir / "model.safetensors.index.json").exists()
+        ws = None
         if has_safetensors:
             ws = ModelWeights(model_dir)
         elif gguf_path.exists():
             from ..weights.gguf import GgufWeights
             ws = GgufWeights(gguf_path)
-        else:
+        elif not has_checkpoint(model_dir):
             ws = ModelWeights(model_dir)  # raises with a clear error
         cfg_path = model_dir / "config.json"
         if cfg_path.exists():
@@ -93,7 +96,10 @@ class DecoderLM:
         cfg = self.config
 
         self.max_context = min(cfg.max_seq_len, max_context or DEFAULT_MAX_CONTEXT)
-        if self.family is kllama:
+        from ..weights.checkpoint import load_checkpoint
+        if has_checkpoint(model_dir):
+            params = load_checkpoint(model_dir)
+        elif self.family is kllama:
             params = kllama.load_params(ws, cfg, dtype, rope_cache_len=self.max_context)
         else:
             params = kgpt2.load_params(ws, cfg, dtype)
@@ -108,7 +114,7 @@ class DecoderLM:
             # GGUF files embed vocab+merges; build the in-tree BPE from them
             from ..tokenizer_native import bpe_from_gguf_metadata
             bpe = None
-            if hasattr(ws, "metadata"):
+            if ws is not None and hasattr(ws, "metadata"):
                 bpe = bpe_from_gguf_metadata(ws.metadata)
             if bpe is None:
                 raise InvalidConfigError(
