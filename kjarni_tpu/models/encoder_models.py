@@ -32,16 +32,21 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
 class _EncoderBase:
     """Shared load path: config.json + tokenizer.json + safetensors -> jitted encode."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32):
+    def __init__(self, model_dir: Path, dtype=np.float32, device=None):
         model_dir = Path(model_dir)
         self.model_dir = model_dir
+        self._device = device
         hf_cfg = json.loads((model_dir / "config.json").read_text())
         self.hf_config = hf_cfg
         self.config = kbert.BertConfig.from_hf(hf_cfg)
         self.tokenizer = KjarniTokenizer.from_file(
             model_dir / "tokenizer.json", pad_token_id=self.config.pad_token_id)
         ws = ModelWeights(model_dir)
-        self.params = jax.tree.map(jnp.asarray, kbert.load_params(ws, self.config, dtype))
+        from ..core.placement import resolve_jax_device
+        dev = resolve_jax_device(device)
+        self.params = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), dev),
+            kbert.load_params(ws, self.config, dtype))
         self._weights = ws
         cfg = self.config
 
@@ -113,8 +118,8 @@ class SentenceEncoder(_EncoderBase):
 class CrossEncoder(_EncoderBase):
     """Query-document relevance scoring (cf. cross_encoder/model.rs:32)."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32):
-        super().__init__(model_dir, dtype)
+    def __init__(self, model_dir: Path, dtype=np.float32, device=None):
+        super().__init__(model_dir, dtype, device)
         self.head = _load_classification_head(self._weights, self.hf_config)
 
         head = self.head
@@ -237,8 +242,8 @@ def _head_forward(head: _HeadSpec, params: dict, hidden: jnp.ndarray,
 class SequenceClassifier(_EncoderBase):
     """Text -> label scores (cf. sequence_classifier/mod.rs:42)."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32):
-        super().__init__(model_dir, dtype)
+    def __init__(self, model_dir: Path, dtype=np.float32, device=None):
+        super().__init__(model_dir, dtype, device)
         self.head = _load_classification_head(self._weights, self.hf_config)
         self.labels = self.head.labels
         self.is_multi_label = (

@@ -51,7 +51,7 @@ class Classifier:
             model, cache_dir, policy, quiet, _CLASSIFIER_TASKS, "classification")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._clf = SequenceClassifier(model_dir)
+        self._clf = SequenceClassifier(model_dir, device=self.device)
         if labels is not None:
             expected = len(self._clf.labels or [])
             if expected and len(labels) != expected:

@@ -46,7 +46,7 @@ class Embedder:
             model, cache_dir, policy, quiet, _EMBEDDER_TASKS, "embedding")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._encoder = SentenceEncoder(model_dir)
+        self._encoder = SentenceEncoder(model_dir, device=self.device)
         self.pooling = pooling
         self.normalize = normalize
 

@@ -38,7 +38,7 @@ class Reranker:
             model, cache_dir, policy, quiet, _RERANKER_TASKS, "reranking")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._ce = CrossEncoder(model_dir)
+        self._ce = CrossEncoder(model_dir, device=self.device)
 
     def score(self, query: str, document: str) -> float:
         return self._ce.predict_pair(query, document)
