@@ -500,3 +500,27 @@ class DecoderLM:
         self._cache = (ck, cv)
         toks = [int(t) for t in np.asarray(out[:int(n)]) if t >= 0]
         return self.tokenizer.decode(toks, skip_special_tokens=True)
+
+    def default_generation_config(self) -> GenerationConfig:
+        """Defaults from the model's generation_config.json (HFGenerationConfig
+        parse, common/mod.rs:118): temperature/top_p/top_k/repetition_penalty
+        seed the sampling params; library defaults fill the rest."""
+        import dataclasses
+        from ..generate.sampling import SamplingParams
+        g = self.hf_generation_config
+        base = GenerationConfig()
+        if not g:
+            return base
+        sp = SamplingParams(
+            temperature=g.get("temperature", base.sampling.temperature),
+            top_k=g.get("top_k", base.sampling.top_k),
+            top_p=g.get("top_p", base.sampling.top_p),
+            min_p=g.get("min_p", base.sampling.min_p),
+        )
+        return dataclasses.replace(
+            base,
+            sampling=sp,
+            repetition_penalty=g.get("repetition_penalty",
+                                     base.repetition_penalty),
+            strategy="sample" if g.get("do_sample", True) else "greedy",
+        )

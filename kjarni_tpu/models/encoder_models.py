@@ -92,6 +92,8 @@ class SentenceEncoder(_EncoderBase):
     Defaults mirror the reference: mean pooling + L2 normalization.
     """
 
+    MAX_ENCODE_BATCH = 512  # chunk huge corpora to bound activation memory
+
     def encode_batch(self, texts: Sequence[str], *,
                      pooling: PoolingStrategy | str = PoolingStrategy.MEAN,
                      normalize: bool = True) -> np.ndarray:
@@ -100,9 +102,14 @@ class SentenceEncoder(_EncoderBase):
         if isinstance(pooling, str):
             pooling = PoolingStrategy(
                 {"lastToken": "last", "last_token": "last"}.get(pooling, pooling))
-        hidden, _, mask = self.hidden_states(texts)
-        pooled = np.asarray(pool(pooling, hidden, jnp.asarray(mask)), dtype=np.float32)
-        pooled = pooled[:len(texts)]
+        chunks = []
+        for i in range(0, len(texts), self.MAX_ENCODE_BATCH):
+            batch = list(texts[i:i + self.MAX_ENCODE_BATCH])
+            hidden, _, mask = self.hidden_states(batch)
+            pooled = np.asarray(pool(pooling, hidden, jnp.asarray(mask)),
+                                dtype=np.float32)[:len(batch)]
+            chunks.append(pooled)
+        pooled = np.concatenate(chunks, axis=0)
         if normalize:
             pooled = _l2_normalize(pooled)
         return pooled

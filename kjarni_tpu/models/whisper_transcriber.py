@@ -166,6 +166,22 @@ class WhisperModel:
             chunks.append(chunk.astype(np.float32))
         return chunks
 
+    def detect_language(self, cross_kv) -> str:
+        """Detect the spoken language: feed [SOT], argmax over language tokens
+        (the whisper-native method; the reference defaults to 'en')."""
+        cfg = self.config
+        ck, cv = cross_kv
+        sk, sv = kwhisper.init_self_cache(cfg, 1, 8, self.params["embed"].dtype)
+        enc_mask = jnp.ones((1, cfg.max_source_positions), jnp.int32)
+        logits, _, _ = kwhisper.decode_step(
+            self.params, cfg, jnp.asarray([[SOT_TOKEN]], jnp.int32), sk, sv,
+            ck, cv, enc_mask, 0)
+        lang_lo, lang_hi = SOT_TOKEN + 1, SOT_TOKEN + 100  # <|en|>..<|su|>
+        window = np.asarray(logits[0, -1, lang_lo:lang_hi])
+        tok = int(lang_lo + window.argmax())
+        text = self.tokenizer.decode([tok], skip_special_tokens=False)
+        return text.strip("<|>") if text else "en"
+
     def resolve_language_token(self, language: str) -> Optional[int]:
         return self.tokenizer.token_to_id(f"<|{language.lower()}|>")
 
