@@ -32,7 +32,9 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
 class _EncoderBase:
     """Shared load path: config.json + tokenizer.json + safetensors -> jitted encode."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32, device=None):
+    def __init__(self, model_dir: Path, dtype="auto", device=None):
+        from .decoder_lm import resolve_dtype
+        dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
         self._device = device
@@ -125,7 +127,7 @@ class SentenceEncoder(_EncoderBase):
 class CrossEncoder(_EncoderBase):
     """Query-document relevance scoring (cf. cross_encoder/model.rs:32)."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32, device=None):
+    def __init__(self, model_dir: Path, dtype="auto", device=None):
         super().__init__(model_dir, dtype, device)
         self.head = _load_classification_head(self._weights, self.hf_config)
 
@@ -249,7 +251,7 @@ def _head_forward(head: _HeadSpec, params: dict, hidden: jnp.ndarray,
 class SequenceClassifier(_EncoderBase):
     """Text -> label scores (cf. sequence_classifier/mod.rs:42)."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32, device=None):
+    def __init__(self, model_dir: Path, dtype="auto", device=None):
         super().__init__(model_dir, dtype, device)
         self.head = _load_classification_head(self._weights, self.hf_config)
         self.labels = self.head.labels

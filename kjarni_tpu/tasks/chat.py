@@ -70,7 +70,8 @@ class Chat:
                cancellation: Optional[CancellationToken] = None,
                **overrides) -> Iterator[StreamedToken]:
         """Streaming send (cf. chat/model.rs:275). History updates on completion."""
-        cfg = resolve_generation_config(preset, config, **overrides)
+        cfg = resolve_generation_config(
+            preset, config, self._lm.default_generation_config(), **overrides)
         self._conversation.push_user(message)
         prompt = self._lm.apply_chat_template(self._conversation)
         # template already contains BOS where needed

@@ -31,9 +31,16 @@ PRESETS: dict[str, GenerationConfig] = {
 
 def resolve_generation_config(preset: Optional[str] = None,
                               config: Optional[GenerationConfig] = None,
+                              model_defaults: Optional[GenerationConfig] = None,
                               **overrides) -> GenerationConfig:
-    """preset -> config -> explicit overrides, later wins (resolution.rs:10)."""
-    base = config or (PRESETS[preset] if preset else GenerationConfig())
+    """model defaults -> preset -> config -> explicit overrides, later wins
+    (generation/resolution.rs:10 precedence chain)."""
+    if config is not None:
+        base = config
+    elif preset is not None:
+        base = PRESETS[preset]
+    else:
+        base = model_defaults or GenerationConfig()
     if overrides:
         import dataclasses
         base = dataclasses.replace(base, **overrides)
@@ -66,7 +73,8 @@ class Generator:
                  config: Optional[GenerationConfig] = None,
                  cancellation: Optional[CancellationToken] = None,
                  **overrides) -> str:
-        cfg = resolve_generation_config(preset, config, **overrides)
+        cfg = resolve_generation_config(
+            preset, config, self._lm.default_generation_config(), **overrides)
         return self._lm.generate(prompt, config=cfg, cancellation=cancellation)
 
     def generate_batch(self, prompts: list[str], *,
@@ -74,12 +82,14 @@ class Generator:
                        config: Optional[GenerationConfig] = None,
                        **overrides) -> list[str]:
         """Batched decode for aggregate throughput (left-padded ragged rows)."""
-        cfg = resolve_generation_config(preset, config, **overrides)
+        cfg = resolve_generation_config(
+            preset, config, self._lm.default_generation_config(), **overrides)
         return self._lm.generate_batch(prompts, config=cfg)
 
     def generate_stream(self, prompt: str, *, preset: Optional[str] = None,
                         config: Optional[GenerationConfig] = None,
                         cancellation: Optional[CancellationToken] = None,
                         **overrides) -> Iterator[StreamedToken]:
-        cfg = resolve_generation_config(preset, config, **overrides)
+        cfg = resolve_generation_config(
+            preset, config, self._lm.default_generation_config(), **overrides)
         return self._lm.generate_stream(prompt, config=cfg, cancellation=cancellation)
