@@ -25,7 +25,7 @@ import numpy as np
 
 from ..core.errors import InvalidConfigError
 from ..core.metadata import RopeScaling
-from ..ops.attention import attention, merge_heads, split_heads
+from ..ops.attention import attention, merge_heads
 from ..ops.masks import NEG_INF
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, base_inv_freq, llama3_inv_freq
