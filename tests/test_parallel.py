@@ -94,3 +94,23 @@ class TestGraftEntry:
         sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         from __graft_entry__ import dryrun_multichip
         dryrun_multichip(8)
+
+
+class TestDataParallelEncode:
+    def test_dp_embeddings_match_single_device(self, tmp_path):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from helpers import tiny_bert_dir
+        from kjarni_tpu.models.encoder_models import SentenceEncoder
+        from kjarni_tpu.parallel.inference import (encode_data_parallel,
+                                                   replicate_params)
+        tiny_bert_dir(tmp_path, seed=51)
+        enc = SentenceEncoder(tmp_path, dtype="f32")
+        texts = [f"hello world doctor {i}" for i in range(10)]  # 10 % 8 != 0
+        ref = enc.encode_batch(texts, normalize=True)
+
+        mesh = make_mesh(8, dp=8, tp=1)
+        params = replicate_params(enc.params, mesh)
+        ids, mask = enc.tokenizer.encode_batch(texts, max_len=enc.max_seq_len)
+        got = encode_data_parallel(params, enc.config, mesh, ids, mask)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
