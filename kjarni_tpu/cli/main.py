@@ -82,7 +82,9 @@ def cmd_model(args) -> int:
         return 0
     if args.model_cmd == "download":
         m = registry.resolve(args.name)
-        registry.download_model_files(m, quiet=args.quiet)
+        fmt = (registry.WeightsFormat.GGUF if getattr(args, "gguf", False)
+               else registry.WeightsFormat.SAFETENSORS)
+        registry.download_model_files(m, fmt=fmt, quiet=args.quiet)
         print(f"✓ Downloaded {m.cli_name} to {registry.model_cache_dir(m)}")
         return 0
     if args.model_cmd == "info":
@@ -303,6 +305,8 @@ def build_parser() -> argparse.ArgumentParser:
     msub.add_parser("list")
     d = msub.add_parser("download")
     d.add_argument("name")
+    d.add_argument("--gguf", action="store_true",
+                   help="prefer the quantized GGUF weights when available")
     i = msub.add_parser("info")
     i.add_argument("name")
     i.add_argument("--format", choices=["text", "json"], default="text")

@@ -48,8 +48,10 @@ class Seq2SeqTaskParams:
 class Seq2SeqLM:
     """An encoder-decoder LM ready for generation."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32,
+    def __init__(self, model_dir: Path, dtype="auto",
                  max_decode_len: int = DEFAULT_MAX_DECODE):
+        from .decoder_lm import resolve_dtype
+        dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
         hf_cfg = json.loads((model_dir / "config.json").read_text())

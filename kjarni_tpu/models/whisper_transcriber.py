@@ -72,7 +72,9 @@ class WhisperChunkResult:
 class WhisperModel:
     """Loaded Whisper checkpoint with jitted encode + greedy-decode programs."""
 
-    def __init__(self, model_dir: Path, dtype=np.float32):
+    def __init__(self, model_dir: Path, dtype="auto"):
+        from .decoder_lm import resolve_dtype
+        dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
         hf_cfg = json.loads((model_dir / "config.json").read_text())
@@ -91,7 +93,10 @@ class WhisperModel:
 
         @jax.jit
         def _encode_chunk(params, audio):
+            # mel stays f32 for numerics, then enters the encoder in the
+            # param dtype (bf16 on TPU)
             mel = log_mel_spectrogram(audio, self.mel_config)
+            mel = mel.astype(params["conv1_w"].dtype)
             enc = kwhisper.encode(params, cfg, mel[None])
             ck, cv = kwhisper.precompute_cross_kv(params, cfg, enc)
             return ck, cv
@@ -290,11 +295,18 @@ class WhisperModel:
                    config: Optional[WhisperTranscriberConfig] = None,
                    on_token: Optional[Callable[[int, str], bool]] = None
                    ) -> tuple[str, list[WhisperSegment]]:
-        """Full pipeline: chunk -> mel+encode -> decode -> stitch."""
+        """Full pipeline: chunk -> mel+encode -> decode -> stitch.
+
+        language="auto" runs whisper-native detection on the first chunk.
+        """
+        import dataclasses
         config = config or WhisperTranscriberConfig()
         results = []
         for i, chunk in enumerate(self.chunk_audio(audio)):
             cross_kv = self._encode_chunk(self.params, jnp.asarray(chunk))
+            if config.language == "auto":
+                config = dataclasses.replace(
+                    config, language=self.detect_language(cross_kv))
             results.append(self.decode_chunk(cross_kv, config,
                                              i * CHUNK_LENGTH_SECS, on_token))
         return stitch_segments(results)
