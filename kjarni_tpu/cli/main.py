@@ -107,6 +107,13 @@ def cmd_model(args) -> int:
         m = registry.resolve(args.name)
         print(registry.model_cache_dir(m))
         return 0
+    if args.model_cmd == "convert":
+        from ..tasks.common import resolve_model_dir
+        from ..weights.checkpoint import convert_model
+        src, _ = resolve_model_dir(args.name)
+        out = convert_model(src, args.output, dtype=args.dtype)
+        print(f"✓ Converted to native checkpoint at {out}")
+        return 0
     if args.model_cmd == "search":
         results = registry.search(args.query)
         rows = [[m.cli_name, f"{score:.2f}", m.description[:60]]
@@ -314,6 +321,11 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("name")
     se = msub.add_parser("search")
     se.add_argument("query")
+    cv = msub.add_parser("convert",
+                         help="convert to a fast-loading native checkpoint")
+    cv.add_argument("name")
+    cv.add_argument("output")
+    cv.add_argument("--dtype", default="auto", choices=["auto", "f32", "bf16"])
     sp.set_defaults(fn=cmd_model)
 
     sp = sub.add_parser("classify", help="classify text")
