@@ -51,6 +51,12 @@ class BPETokenizer:
         self._byte_encoder = bytes_to_unicode()
         self._byte_decoder = {v: k for k, v in self._byte_encoder.items()}
         self._cache: dict[str, list[str]] = {}
+        # chat templates embed special tokens as literal text (<|eot_id|> ...);
+        # split them out so they map to their ids, not byte-BPE pieces
+        specials = sorted(self.special_tokens, key=len, reverse=True)
+        self._special_re = (
+            regex.compile("(" + "|".join(regex.escape(t) for t in specials) + ")")
+            if specials else None)
 
     @classmethod
     def from_files(cls, vocab_path: Path, merges_path: Path) -> "BPETokenizer":
@@ -89,12 +95,21 @@ class BPETokenizer:
 
     def encode(self, text: str, add_special_tokens: bool = False) -> list[int]:
         ids: list[int] = []
-        for piece in _GPT2_PATTERN.findall(text):
-            mapped = "".join(self._byte_encoder[b] for b in piece.encode("utf-8"))
-            for sub in self._bpe(mapped):
-                tid = self.vocab.get(sub)
-                if tid is not None:
-                    ids.append(tid)
+        segments = (self._special_re.split(text) if self._special_re
+                    else [text])
+        for seg in segments:
+            if not seg:
+                continue
+            if self._special_re is not None and seg in self.special_tokens:
+                ids.append(self.special_tokens[seg])
+                continue
+            for piece in _GPT2_PATTERN.findall(seg):
+                mapped = "".join(self._byte_encoder[b]
+                                 for b in piece.encode("utf-8"))
+                for sub in self._bpe(mapped):
+                    tid = self.vocab.get(sub)
+                    if tid is not None:
+                        ids.append(tid)
         return ids
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
@@ -210,7 +225,7 @@ def bpe_from_gguf_metadata(metadata: dict) -> Optional[BPETokenizer]:
     """Build a BPE tokenizer from GGUF tokenizer.ggml.* metadata."""
     tokens = metadata.get("tokenizer.ggml.tokens")
     merges = metadata.get("tokenizer.ggml.merges")
-    if not tokens or not merges:
+    if not tokens or merges is None:
         return None
     vocab = {t: i for i, t in enumerate(tokens)}
     merge_pairs = []
@@ -218,9 +233,18 @@ def bpe_from_gguf_metadata(metadata: dict) -> Optional[BPETokenizer]:
         a, _, b = m.partition(" ")
         merge_pairs.append((a, b))
     specials = {}
-    for key, name in (("tokenizer.ggml.bos_token_id", "bos"),
-                      ("tokenizer.ggml.eos_token_id", "eos")):
+    for key in ("tokenizer.ggml.bos_token_id", "tokenizer.ggml.eos_token_id"):
         tid = metadata.get(key)
         if tid is not None and tid < len(tokens):
             specials[tokens[tid]] = tid
+    # control tokens (token_type 3 in ggml, or <|...|> shaped) act as specials
+    types = metadata.get("tokenizer.ggml.token_type")
+    if types:
+        for i, t in enumerate(types):
+            if t == 3 and i < len(tokens):
+                specials[tokens[i]] = i
+    else:
+        for i, tok in enumerate(tokens):
+            if tok.startswith("<|") and tok.endswith("|>"):
+                specials[tok] = i
     return BPETokenizer(vocab, merge_pairs, specials)

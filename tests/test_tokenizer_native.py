@@ -116,3 +116,28 @@ class TestGgufTokenizer:
 
     def test_missing_metadata_returns_none(self):
         assert bpe_from_gguf_metadata({}) is None
+
+
+class TestSpecialTokens:
+    def test_bpe_splits_special_tokens_in_text(self):
+        bu = bytes_to_unicode()
+        base = list(bu.values())
+        tokens = base + ["<|eot|>", "<|bos|>"]
+        vocab = {t: i for i, t in enumerate(tokens)}
+        specials = {"<|eot|>": vocab["<|eot|>"], "<|bos|>": vocab["<|bos|>"]}
+        bpe = BPETokenizer(vocab, [], specials)
+        ids = bpe.encode("<|bos|>hi<|eot|>")
+        assert ids[0] == vocab["<|bos|>"]
+        assert ids[-1] == vocab["<|eot|>"]
+        # the inner text is byte-encoded, not swallowed
+        assert len(ids) > 2
+
+    def test_gguf_control_tokens_registered(self):
+        bu = bytes_to_unicode()
+        tokens = list(bu.values()) + ["<|im_start|>", "<|im_end|>"]
+        md = {"tokenizer.ggml.tokens": tokens, "tokenizer.ggml.merges": [],
+              "tokenizer.ggml.eos_token_id": len(tokens) - 1}
+        bpe = bpe_from_gguf_metadata(md)
+        assert bpe.token_to_id("<|im_start|>") == len(tokens) - 2
+        ids = bpe.encode("<|im_start|>x")
+        assert ids[0] == len(tokens) - 2
