@@ -61,7 +61,8 @@ class DecoderLM:
     """A causal LM ready for generation (cf. DecoderLanguageModel traits.rs:272)."""
 
     def __init__(self, model_dir: Path, dtype="auto",
-                 max_context: Optional[int] = None):
+                 max_context: Optional[int] = None,
+                 quantize: Optional[str] = None):
         dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
@@ -103,6 +104,12 @@ class DecoderLM:
             params = kllama.load_params(ws, cfg, dtype, rope_cache_len=self.max_context)
         else:
             params = kgpt2.load_params(ws, cfg, dtype)
+        if quantize == "int8" and self.family is kllama:
+            # skip if the checkpoint is already quantized
+            if not isinstance(params.get("lm_head"), dict):
+                params = kllama.quantize_params_int8(params)
+        elif quantize not in (None, "int8"):
+            raise InvalidConfigError(f"unknown quantize mode '{quantize}'")
         self.params = jax.tree.map(jnp.asarray, params)
         self._cache_dtype = dtype
         self._cache = None  # allocated lazily, reused across generations

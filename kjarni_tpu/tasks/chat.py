@@ -30,6 +30,7 @@ class Chat:
                  cache_dir: Optional[Path] = None,
                  max_context: Optional[int] = None,
                  dtype: str = "auto",
+                 quantize: Optional[str] = None,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -38,7 +39,8 @@ class Chat:
             model, cache_dir, policy, quiet, _CHAT_TASKS, "chat")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context)
+        self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
+                             quantize=quantize)
         if system_prompt is None:
             system_prompt = self._lm.chat_template.default_system_prompt()
         self._conversation = (Conversation.with_system(system_prompt)

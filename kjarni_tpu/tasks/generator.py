@@ -55,6 +55,7 @@ class Generator:
                  cache_dir: Optional[Path] = None,
                  max_context: Optional[int] = None,
                  dtype: str = "auto",
+                 quantize: Optional[str] = None,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -63,7 +64,8 @@ class Generator:
             model, cache_dir, policy, quiet, _GENERATOR_TASKS, "generation")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context)
+        self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
+                             quantize=quantize)
 
     @property
     def lm(self) -> DecoderLM:

@@ -44,7 +44,8 @@ def has_checkpoint(model_dir: Path) -> bool:
 
 
 def convert_model(model_dir: Path, out_dir: Path, *, dtype="auto",
-                  max_context: Optional[int] = None) -> Path:
+                  max_context: Optional[int] = None,
+                  quantize: Optional[str] = None) -> Path:
     """Convert an HF/GGUF model dir into a fast-loading native checkpoint dir.
 
     Copies config/tokenizer, maps the weights once, saves the prepared pytree.
@@ -55,7 +56,8 @@ def convert_model(model_dir: Path, out_dir: Path, *, dtype="auto",
     model_dir = Path(model_dir)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context)
+    lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
+                   quantize=quantize)
     for name in ("config.json", "tokenizer.json", "generation_config.json"):
         src = model_dir / name
         if src.exists():

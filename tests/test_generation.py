@@ -190,3 +190,29 @@ class TestBatchGenerate:
         cfg = GenerationConfig.greedy(max_new_tokens=5, max_length=64)
         assert lm.generate_batch(["hello"], config=cfg) == \
             [lm.generate("hello", config=cfg)]
+
+
+class TestInt8Quantized:
+    def test_int8_generation_close_to_f32(self, llama_dir):
+        d, _ = llama_dir
+        lm32 = DecoderLM(d, dtype="f32", max_context=64)
+        lm8 = DecoderLM(d, dtype="f32", max_context=64, quantize="int8")
+        import jax.numpy as jnp
+        assert lm8.params["layers"]["q"]["w"].dtype == jnp.int8
+        # logits stay close (weight-only int8 keeps high cosine)
+        import numpy as np
+        from kjarni_tpu.models import llama as kllama
+        ids = jnp.asarray([[5, 9, 23, 12]])
+        cfg = lm32.config
+        ck, cv = kllama.init_cache(cfg, 1, 8)
+        ref, _, _ = kllama.forward_all_logits(lm32.params, cfg, ids, ck, cv, 0)
+        ck, cv = kllama.init_cache(cfg, 1, 8)
+        got, _, _ = kllama.forward_all_logits(lm8.params, cfg, ids, ck, cv, 0)
+        r, g = np.asarray(ref).ravel(), np.asarray(got).ravel()
+        cos = r @ g / (np.linalg.norm(r) * np.linalg.norm(g))
+        assert cos > 0.999
+        # generation runs end to end
+        out = lm8.generate("hello world",
+                           config=GenerationConfig.greedy(max_new_tokens=4,
+                                                          max_length=64))
+        assert isinstance(out, str)
