@@ -47,3 +47,18 @@ class TestCheckpoint:
         fast = DecoderLM(out, dtype="f32", max_context=64)
         assert fast.generate("hello world", config=cfg) == \
             orig.generate("hello world", config=cfg)
+
+
+class TestQuantizedCheckpoint:
+    def test_convert_int8_and_generate(self, llama_dir, tmp_path):
+        import jax.numpy as jnp
+        out = tmp_path / "converted_int8"
+        convert_model(llama_dir, out, dtype="f32", max_context=64,
+                      quantize="int8")
+        lm = DecoderLM(out, dtype="f32", max_context=64)
+        assert lm.params["layers"]["q"]["w"].dtype == jnp.int8
+        assert isinstance(lm.params["lm_head"], dict)
+        text = lm.generate("hello world",
+                           config=GenerationConfig.greedy(max_new_tokens=4,
+                                                          max_length=64))
+        assert isinstance(text, str)
