@@ -59,7 +59,179 @@ def build_minilm(dtype):
     return cfg, params
 
 
+def build_llama_1b(dtype, quantize=False):
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from __graft_entry__ import _random_llama
+    from kjarni_tpu.models import llama as kllama
+    import jax
+    import jax.numpy as jnp
+
+    cfg, params = _random_llama({
+        "vocab_size": 128256, "hidden_size": 2048, "num_layers": 16,
+        "num_heads": 32, "num_kv_heads": 8, "head_dim": 64,
+        "intermediate_size": 8192, "max_seq_len": 4096})
+    if quantize:
+        params = kllama.quantize_params_int8(params)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if x.dtype == np.float32 and x.ndim > 1 else jnp.asarray(x), params)
+    params["rope_cos"] = jnp.asarray(params["rope_cos"], jnp.float32)
+    params["rope_sin"] = jnp.asarray(params["rope_sin"], jnp.float32)
+    return cfg, params
+
+
+def _roundtrip_latency():
+    import jax
+    import jax.numpy as jnp
+    probe = jax.jit(lambda x: jnp.sum(x))
+    x = jnp.ones(8)
+    float(probe(x))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(probe(x))
+    return (time.perf_counter() - t0) / 3
+
+
+def bench_decode(quantize=False):
+    """Llama-3.2-1B-geometry decode tok/s (fused scan, ctx 2048)."""
+    import jax
+    import jax.numpy as jnp
+    from kjarni_tpu.models import llama as kllama
+
+    cfg, params = build_llama_1b(None, quantize)
+    N = 64
+    ck, cv = kllama.init_cache(cfg, 1, 2048, jnp.bfloat16)
+
+    @jax.jit
+    def decode_n(params, ck, cv, tok0, pos0):
+        def body(carry, i):
+            tok, ck, cv = carry
+            logits, ck, cv = kllama.forward(params, cfg, tok[None, None],
+                                            ck, cv, pos0 + i)
+            return (jnp.argmax(logits[0]).astype(jnp.int32), ck, cv), ()
+        (tok, ck, cv), _ = jax.lax.scan(body, (tok0, ck, cv), jnp.arange(N))
+        return tok, ck, cv
+
+    tok, ck, cv = decode_n(params, ck, cv, jnp.int32(1), jnp.int32(128))
+    int(tok)
+    lat = _roundtrip_latency()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tok, ck, cv = decode_n(params, ck, cv, jnp.int32(1), jnp.int32(256))
+        int(tok)
+        times.append(time.perf_counter() - t0)
+    tps = N / (min(times) - lat)
+    name = "llama_1b_decode_int8_tok_per_sec" if quantize else         "llama_1b_decode_bf16_tok_per_sec"
+    print(json.dumps({"metric": name, "value": round(tps, 1),
+                      "unit": "tok/s", "vs_baseline": round(tps / 100.0, 3)}))
+
+
+def bench_whisper():
+    """Whisper-small 30s-chunk transcription speed (xRT)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from kjarni_tpu.audio.mel import MelConfig, log_mel_spectrogram
+    from kjarni_tpu.models import whisper as kwhisper
+
+    cfg = kwhisper.WhisperConfig(
+        vocab_size=51865, d_model=768, encoder_layers=12, decoder_layers=12,
+        encoder_heads=12, decoder_heads=12, encoder_ffn_dim=3072,
+        decoder_ffn_dim=3072, num_mel_bins=80, max_source_positions=1500,
+        max_target_positions=448)
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+
+    def w(*s, scale=0.02):
+        return jnp.asarray(rng.standard_normal(s) * scale, dt)
+
+    H = 768
+
+    def lin(L, i, o, bias=True):
+        p = {"w": w(L, i, o)}
+        if bias:
+            p["b"] = w(L, o)
+        return p
+
+    def norm(L):
+        return {"weight": jnp.ones((L, H), dt), "bias": jnp.zeros((L, H), dt)}
+
+    enc = {"q": lin(12, H, H), "k": {"w": w(12, H, H)}, "v": lin(12, H, H),
+           "o": lin(12, H, H), "attn_norm": norm(12), "fc1": lin(12, H, 3072),
+           "fc2": lin(12, 3072, H), "ffn_norm": norm(12)}
+    dec = {"q": lin(12, H, H), "k": {"w": w(12, H, H)}, "v": lin(12, H, H),
+           "o": lin(12, H, H), "self_norm": norm(12),
+           "cross_q": lin(12, H, H), "cross_k": {"w": w(12, H, H)},
+           "cross_v": lin(12, H, H), "cross_o": lin(12, H, H),
+           "cross_norm": norm(12), "fc1": lin(12, H, 3072),
+           "fc2": lin(12, 3072, H), "ffn_norm": norm(12)}
+    embed = w(51865, H)
+    params = {"conv1_w": w(H, 80, 3), "conv1_b": w(H), "conv2_w": w(H, H, 3),
+              "conv2_b": w(H), "enc_pos": w(1500, H), "enc": enc,
+              "enc_final_norm": {"weight": jnp.ones(H, dt),
+                                 "bias": jnp.zeros(H, dt)},
+              "embed": embed, "dec_pos": w(448, H), "dec": dec,
+              "dec_final_norm": {"weight": jnp.ones(H, dt),
+                                 "bias": jnp.zeros(H, dt)},
+              "lm_head": embed.T}
+    mel_cfg = MelConfig.whisper()
+    audio = jnp.asarray(rng.standard_normal(16000 * 30) * 0.1, jnp.float32)
+    MAX_STEPS = 100
+
+    @jax.jit
+    def full_chunk(params, audio):
+        mel = log_mel_spectrogram(audio, mel_cfg).astype(dt)
+        enc_out = kwhisper.encode(params, cfg, mel[None])
+        ck, cv = kwhisper.precompute_cross_kv(params, cfg, enc_out)
+        sk = jnp.zeros((12, 1, 12, 128, 64), dt)
+        sv = jnp.zeros((12, 1, 12, 128, 64), dt)
+        enc_mask = jnp.ones((1, 1500), jnp.int32)
+        prompt = jnp.asarray([[50258, 50259, 50359, 50363]], jnp.int32)
+        logits, sk, sv = kwhisper.decode_step(params, cfg, prompt, sk, sv,
+                                              ck, cv, enc_mask, 0)
+        tok = jnp.argmax(logits[0, -1]).astype(jnp.int32)
+
+        def body(carry, i):
+            tok, sk, sv = carry
+            lg, sk, sv = kwhisper.decode_step(params, cfg, tok[None, None],
+                                              sk, sv, ck, cv, enc_mask, 4 + i)
+            return (jnp.argmax(lg[0, -1]).astype(jnp.int32), sk, sv), tok
+        (tok, sk, sv), toks = jax.lax.scan(body, (tok, sk, sv),
+                                           jnp.arange(MAX_STEPS))
+        return jnp.sum(toks)
+
+    float(full_chunk(params, audio))
+    lat = _roundtrip_latency()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(full_chunk(params, audio))
+        times.append(time.perf_counter() - t0)
+    xrt = 30.0 / (min(times) - lat)
+    print(json.dumps({"metric": "whisper_small_x_realtime",
+                      "value": round(xrt, 1), "unit": "x_realtime",
+                      "vs_baseline": round(xrt / 30.0, 3)}))
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--metric", default="embed",
+                    choices=["embed", "decode", "decode-int8", "whisper"])
+    args = ap.parse_args()
+    if args.metric == "decode":
+        return bench_decode(False)
+    if args.metric == "decode-int8":
+        return bench_decode(True)
+    if args.metric == "whisper":
+        return bench_whisper()
+    bench_embed()
+
+
+def bench_embed():
     import jax
     import jax.numpy as jnp
     import ml_dtypes
