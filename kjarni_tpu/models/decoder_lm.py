@@ -147,7 +147,6 @@ class DecoderLM:
         self._flash_min_seq = 512
         self._flash_ok = (
             self.family is kllama
-            and getattr(cfg, "sliding_window", None) is None
             and jax.devices()[0].platform != "cpu")
 
         flash_ok = self._flash_ok

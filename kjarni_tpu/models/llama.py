@@ -342,7 +342,8 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
         vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos_start, 0))
         if use_flash:
             from ..ops.pallas.flash_attention import flash_attention
-            ctx = merge_heads(flash_attention(q, k, v, causal=True))
+            ctx = merge_heads(flash_attention(q, k, v, causal=True,
+                                              window=cfg.sliding_window))
         else:
             ctx = merge_heads(attention(q, kc, vc, bias))
         h = h + _mm(ctx, lp["o"])

@@ -29,7 +29,7 @@ DEFAULT_BLOCK_K = 128
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                   scale: float, causal: bool, block_q: int, block_k: int,
-                  kv_len: int):
+                  kv_len: int, window: int | None = None):
     qi = pl.program_id(1)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -43,10 +43,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
     q_start = qi * block_q
     k_start = ki * block_k
 
-    # causal: skip k-blocks strictly above the diagonal band
+    # causal: skip k-blocks strictly above the diagonal band; with a sliding
+    # window (Mistral, cpu/decoder SWA) also skip blocks entirely left of it
     run = True
     if causal:
         run = k_start <= q_start + block_q - 1
+    if window is not None:
+        run = jnp.logical_and(run,
+                              k_start + block_k - 1 >= q_start - window + 1)
 
     @pl.when(run)
     def _compute():
@@ -57,10 +61,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
                                 preferred_element_type=jnp.float32) * scale
         col = k_start + jax.lax.broadcasted_iota(jnp.int32,
                                                  (block_q, block_k), 1)
-        if causal:
+        if causal or window is not None:
             row = q_start + jax.lax.broadcasted_iota(jnp.int32,
                                                      (block_q, block_k), 0)
-            s = jnp.where(col <= row, s, NEG_INF)
+            if causal:
+                s = jnp.where(col <= row, s, NEG_INF)
+            if window is not None:
+                s = jnp.where(col > row - window, s, NEG_INF)
         # mask padded kv tail
         s = jnp.where(col < kv_len, s, NEG_INF)
 
@@ -82,9 +89,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "scale", "block_q",
-                                             "block_k", "interpret"))
+                                             "block_k", "interpret", "window"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = False, scale: float | None = None,
+                    window: int | None = None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool = False) -> jnp.ndarray:
@@ -115,7 +123,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     grid = (B * H, S_pad // block_q, T_pad // block_k)
     kernel = functools.partial(_flash_kernel, scale=scale, causal=causal,
-                               block_q=block_q, block_k=block_k, kv_len=T)
+                               block_q=block_q, block_k=block_k, kv_len=T,
+                               window=window)
     out = pl.pallas_call(
         kernel,
         grid=grid,

@@ -64,3 +64,20 @@ class TestFlashAttention:
         assert got.dtype == jnp.bfloat16
         np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                    np.asarray(ref, dtype=np.float32), atol=3e-2)
+
+
+class TestSlidingWindow:
+    def test_window_matches_masked_reference(self):
+        import jax.numpy as jnp
+        from kjarni_tpu.ops.masks import NEG_INF
+        q = jnp.asarray(rand(1, 2, 256, 32, seed=20))
+        k = jnp.asarray(rand(1, 2, 256, 32, seed=21))
+        v = jnp.asarray(rand(1, 2, 256, 32, seed=22))
+        window = 64
+        i = np.arange(256)[:, None]
+        j = np.arange(256)[None, :]
+        bias = np.where((j <= i) & (j > i - window), 0.0, NEG_INF)
+        ref = attention(q, k, v, jnp.asarray(bias)[None, None].astype(jnp.float32))
+        got = flash_attention(q, k, v, causal=True, window=window,
+                              block_q=64, block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
