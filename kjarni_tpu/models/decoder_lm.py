@@ -62,7 +62,8 @@ class DecoderLM:
 
     def __init__(self, model_dir: Path, dtype="auto",
                  max_context: Optional[int] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 kv_cache: Optional[str] = None):
         dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
@@ -112,6 +113,9 @@ class DecoderLM:
             raise InvalidConfigError(f"unknown quantize mode '{quantize}'")
         self.params = jax.tree.map(jnp.asarray, params)
         self._cache_dtype = dtype
+        if kv_cache not in (None, "int8"):
+            raise InvalidConfigError(f"unknown kv_cache mode '{kv_cache}'")
+        self._kv_quantized = (kv_cache == "int8" and self.family is kllama)
         self._cache = None  # allocated lazily, reused across generations
 
         tok_path = model_dir / "tokenizer.json"
@@ -170,8 +174,13 @@ class DecoderLM:
 
     def _ensure_cache(self):
         if self._cache is None:
-            self._cache = self.family.init_cache(
-                self.config, 1, self.max_context, self._cache_dtype)
+            if self._kv_quantized:
+                self._cache = kllama.init_cache(
+                    self.config, 1, self.max_context, self._cache_dtype,
+                    quantized=True)
+            else:
+                self._cache = self.family.init_cache(
+                    self.config, 1, self.max_context, self._cache_dtype)
         return self._cache
 
     def _step_fn(self, gen: GenerationConfig):

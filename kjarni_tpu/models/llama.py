@@ -272,10 +272,37 @@ def quantize_params_int8(params: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
-               dtype=jnp.float32) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fixed-shape per-layer KV cache (cf. cache/cpu.rs:11 CpuKVCache)."""
+               dtype=jnp.float32, quantized: bool = False):
+    """Fixed-shape per-layer KV cache (cf. cache/cpu.rs:11 CpuKVCache).
+
+    quantized=True stores K/V as int8 with per-(head, position) scales —
+    half the HBM traffic per decode step at long context; dequantization is
+    convert-fused into the attention matmuls by XLA.
+    """
     shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    if not quantized:
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    sshape = shape[:-1]
+    k = {"q": jnp.zeros(shape, jnp.int8), "s": jnp.zeros(sshape, jnp.float32)}
+    v = {"q": jnp.zeros(shape, jnp.int8), "s": jnp.zeros(sshape, jnp.float32)}
+    return k, v
+
+
+def _cache_write(cache, new: jnp.ndarray, pos_start, act_dtype):
+    """Write [B, H, S, D] into the cache at position pos_start; returns
+    (updated_cache, dequantized_full_view [B, H, T, D])."""
+    if isinstance(cache, dict):
+        scale = jnp.maximum(jnp.max(jnp.abs(new), axis=-1), 1e-6) / 127.0
+        q = jnp.clip(jnp.round(new / scale[..., None]), -127, 127
+                     ).astype(jnp.int8)
+        cq = jax.lax.dynamic_update_slice(cache["q"], q, (0, 0, pos_start, 0))
+        cs = jax.lax.dynamic_update_slice(
+            cache["s"], scale.astype(jnp.float32), (0, 0, pos_start))
+        full = cq.astype(act_dtype) * cs[..., None].astype(act_dtype)
+        return {"q": cq, "s": cs}, full
+    c = jax.lax.dynamic_update_slice(cache, new.astype(cache.dtype),
+                                     (0, 0, pos_start, 0))
+    return c, c
 
 
 # ---------------------------------------------------------------------------
@@ -298,7 +325,7 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     models/base.rs:289.
     """
     B, S = ids.shape
-    T = cache_k.shape[3]
+    T = (cache_k["q"] if isinstance(cache_k, dict) else cache_k).shape[3]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = jnp.take(params["embed"], ids, axis=0)
 
@@ -338,14 +365,14 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
             k = k * c + rotate_half(k) * si
         else:
             q, k = apply_rope(q, k, cos, sin, jnp.arange(S))
-        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, 0, pos_start, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, 0, pos_start, 0))
+        kc, k_full = _cache_write(kc, k, pos_start, h.dtype)
+        vc, v_full = _cache_write(vc, v, pos_start, h.dtype)
         if use_flash:
             from ..ops.pallas.flash_attention import flash_attention
             ctx = merge_heads(flash_attention(q, k, v, causal=True,
                                               window=cfg.sliding_window))
         else:
-            ctx = merge_heads(attention(q, kc, vc, bias))
+            ctx = merge_heads(attention(q, k_full, v_full, bias))
         h = h + _mm(ctx, lp["o"])
         hn = rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)
         ffn = _mm(jax.nn.silu(_mm(hn, lp["gate"])) * _mm(hn, lp["up"]),

@@ -216,3 +216,25 @@ class TestInt8Quantized:
                            config=GenerationConfig.greedy(max_new_tokens=4,
                                                           max_length=64))
         assert isinstance(out, str)
+
+
+class TestInt8KvCache:
+    def test_kv_int8_greedy_matches_f32_cache(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=10, max_length=64)
+        base = DecoderLM(d, dtype="f32", max_context=64)
+        quant = DecoderLM(d, dtype="f32", max_context=64, kv_cache="int8")
+        ref = [st.id for st in base.generate_stream("hello world the",
+                                                    config=cfg)]
+        got = [st.id for st in quant.generate_stream("hello world the",
+                                                     config=cfg)]
+        # int8 KV keeps the greedy path for short generations of tiny models
+        assert got == ref
+
+    def test_kv_int8_cache_structure(self, llama_dir):
+        d, _ = llama_dir
+        lm = DecoderLM(d, dtype="f32", max_context=64, kv_cache="int8")
+        ck, cv = lm._ensure_cache()
+        import jax.numpy as jnp
+        assert ck["q"].dtype == jnp.int8
+        assert ck["s"].ndim == 4
