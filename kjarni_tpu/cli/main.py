@@ -175,11 +175,25 @@ def cmd_rerank(args) -> int:
     return 0
 
 
+def _model_overrides(model: str) -> dict:
+    """Per-model sections from kjarni.toml ([models."name"])."""
+    from ..config_file import load_config
+    ov = load_config().model_override(model)
+    out = {}
+    if "max_context" in ov:
+        out["max_context"] = ov["max_context"]
+    if "dtype" in ov:
+        out["dtype"] = ov["dtype"]
+    if "quantize" in ov:
+        out["quantize"] = ov["quantize"]
+    return out
+
+
 def cmd_generate(args) -> int:
     from ..generate.sampling import GenerationConfig
     from ..tasks.generator import Generator, resolve_generation_config
     text = _read_text(args.prompt)
-    gen = Generator(args.model, quiet=args.quiet)
+    gen = Generator(args.model, quiet=args.quiet, **_model_overrides(args.model))
     cfg = resolve_generation_config(
         args.preset, None,
         **({"max_new_tokens": args.max_tokens} if args.max_tokens else {}))
@@ -195,7 +209,8 @@ def cmd_generate(args) -> int:
 
 def cmd_chat(args) -> int:
     from ..tasks.chat import Chat
-    chat = Chat(args.model, system_prompt=args.system, quiet=args.quiet)
+    chat = Chat(args.model, system_prompt=args.system, quiet=args.quiet,
+                **_model_overrides(args.model))
     if args.message:
         reply = chat.send(args.message)
         print(reply)

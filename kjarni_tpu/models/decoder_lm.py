@@ -153,9 +153,6 @@ class DecoderLM:
             self.family is kllama
             and jax.devices()[0].platform != "cpu")
 
-        flash_ok = self._flash_ok
-        flash_min = self._flash_min_seq
-
         @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("use_flash",))
         def _prefill(params, ck, cv, ids, last_idx, use_flash=False):
             if use_flash:

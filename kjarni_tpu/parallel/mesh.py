@@ -76,14 +76,27 @@ def llama_param_sharding(mesh: Mesh) -> dict:
 
 
 def _match_structure(params: dict, shardings: dict, mesh: Mesh):
-    """Align the sharding pytree with the actual params pytree (bias optional)."""
+    """Align the sharding pytree with the actual params pytree.
+
+    Handles optional biases, None leaves, and rank mismatches (a spec written
+    for stacked [L, ...] weights falls back to replication for unstacked or
+    lower-rank tensors).
+    """
     rep = NamedSharding(mesh, P())
+
+    def fit(leaf, s):
+        if leaf is None or isinstance(s, dict):
+            return rep
+        ndim = getattr(leaf, "ndim", None)
+        if ndim is None or len(s.spec) > ndim:
+            return rep
+        return s
 
     def go(p, s):
         if isinstance(p, dict):
             return {k: go(v, s.get(k, rep) if isinstance(s, dict) else rep)
                     for k, v in p.items()}
-        return s if not isinstance(s, dict) else rep
+        return fit(p, s)
 
     return go(params, shardings)
 

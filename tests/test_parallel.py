@@ -114,3 +114,34 @@ class TestDataParallelEncode:
         ids, mask = enc.tokenizer.encode_batch(texts, max_len=enc.max_seq_len)
         got = encode_data_parallel(params, enc.config, mesh, ids, mask)
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestTensorParallelEncoder:
+    def test_tp_encoder_matches_replicated(self, tmp_path):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from helpers import tiny_bert_dir
+        from kjarni_tpu.models import bert as kbert
+        from kjarni_tpu.models.encoder_models import SentenceEncoder
+        from kjarni_tpu.parallel.mesh import (encoder_param_sharding,
+                                              _match_structure)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tiny_bert_dir(tmp_path, seed=52)
+        enc = SentenceEncoder(tmp_path, dtype="f32")
+        ids, mask = enc.tokenizer.encode_batch(["hello world the doctor"],
+                                               max_len=enc.max_seq_len)
+        tt = np.zeros_like(ids)
+        ref = np.asarray(kbert.encode(enc.params, enc.config, jnp.asarray(ids),
+                                      jnp.asarray(mask), jnp.asarray(tt)))
+
+        mesh = make_mesh(8, dp=4, tp=2)
+        sh = _match_structure(enc.params, encoder_param_sharding(mesh), mesh)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(x, s) if x is not None else None,
+            enc.params, sh,
+            is_leaf=lambda x: x is None or hasattr(x, "shape"))
+        with mesh:
+            got = np.asarray(jax.jit(
+                lambda p, i, m, t: kbert.encode(p, enc.config, i, m, t)
+            )(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
