@@ -193,6 +193,8 @@ class SpeculativeGenerator:
         finally:
             target._cache = (tck, tcv)
             draft._cache = (dck, dcv)
+            target._session_ids = []
+            draft._session_ids = []
             stats.mark_decode_done(n_generated)
             stats.print_summary()
 

@@ -154,16 +154,22 @@ class DecoderLM:
             and jax.devices()[0].platform != "cpu")
 
         @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("use_flash",))
-        def _prefill(params, ck, cv, ids, last_idx, use_flash=False):
-            if use_flash:
+        def _prefill(params, ck, cv, ids, last_idx, pos_start=0,
+                     use_flash=False):
+            if use_flash:  # flash attends only fresh K/V: pos_start==0 only
                 logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0, last_idx,
                                      use_flash=True)
             else:
-                logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0, last_idx)
+                logits, ck, cv = fwd(params, cfg, ids, ck, cv, pos_start,
+                                     last_idx)
             return logits[0], ck, cv
 
         self._prefill = _prefill
         self._steps: dict = {}
+        # conversation prefix reuse (cf. Cache::clone_box, cache/mod.rs:20):
+        # token ids currently materialized in the single-stream cache
+        self._session_ids: list[int] = []
+        self._min_reuse_prefix = 16
 
     # ------------------------------------------------------------------
     # internals
@@ -255,6 +261,33 @@ class DecoderLM:
         self._steps[key] = fused
         return fused
 
+    def _prefill_with_reuse(self, ids: list[int], ck, cv):
+        """Prefill `ids`, skipping the longest cache-resident common prefix.
+
+        Multi-turn chat re-sends the whole templated conversation; the K/V for
+        the shared prefix is already in the cache from the previous turn, so
+        only the suffix is computed (incremental prefill / prompt caching).
+        """
+        prompt_len = len(ids)
+        common = 0
+        limit = min(len(self._session_ids), prompt_len - 1)
+        while common < limit and self._session_ids[common] == ids[common]:
+            common += 1
+        if common < self._min_reuse_prefix:
+            common = 0
+
+        suffix = ids[common:]
+        bucket = seq_bucket(len(suffix), self.max_context - common)
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :len(suffix)] = suffix
+        use_flash = (self._flash_ok and common == 0
+                     and bucket >= self._flash_min_seq)
+        logits, ck, cv = self._prefill(
+            self.params, ck, cv, jnp.asarray(padded), len(suffix) - 1,
+            jnp.int32(common), use_flash=use_flash)
+        self.last_prefill_tokens = len(suffix)  # observability for tests/stats
+        return logits, ck, cv, common
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -292,13 +325,9 @@ class DecoderLM:
         stats.start()
 
         ck, cv = self._ensure_cache()
-        bucket = seq_bucket(prompt_len, self.max_context)
-        padded = np.zeros((1, bucket), dtype=np.int32)
-        padded[0, :prompt_len] = ids
-        use_flash = self._flash_ok and bucket >= self._flash_min_seq
-        logits, ck, cv = self._prefill(self.params, ck, cv, jnp.asarray(padded),
-                                       prompt_len - 1, use_flash=use_flash)
+        logits, ck, cv, _ = self._prefill_with_reuse(ids, ck, cv)
         stats.mark_prefill(prompt_len)
+        emitted: list[int] = []
 
         if emit_prompt:
             for t in ids:
@@ -332,10 +361,12 @@ class DecoderLM:
                     break
                 hist_len += 1
                 n_generated += 1
+                emitted.append(t)
                 text = sdec.push(t)
                 yield StreamedToken(text, t, TokenType.GENERATED)
         finally:
             self._cache = (ck, cv)
+            self._session_ids = ids + emitted
             stats.mark_decode_done(n_generated)
             stats.print_summary()
 
@@ -487,12 +518,7 @@ class DecoderLM:
         prompt_len = len(ids)
 
         ck, cv = self._ensure_cache()
-        bucket = seq_bucket(prompt_len, self.max_context)
-        padded = np.zeros((1, bucket), dtype=np.int32)
-        padded[0, :prompt_len] = ids
-        use_flash = self._flash_ok and bucket >= self._flash_min_seq
-        logits, ck, cv = self._prefill(self.params, ck, cv, jnp.asarray(padded),
-                                       prompt_len - 1, use_flash=use_flash)
+        logits, ck, cv, _ = self._prefill_with_reuse(ids, ck, cv)
 
         history = np.zeros(self.max_context, dtype=np.int32)
         history[:prompt_len] = ids
@@ -511,6 +537,7 @@ class DecoderLM:
             max_steps=int(max_steps))
         self._cache = (ck, cv)
         toks = [int(t) for t in np.asarray(out[:int(n)]) if t >= 0]
+        self._session_ids = ids + toks
         return self.tokenizer.decode(toks, skip_special_tokens=True)
 
     def default_generation_config(self) -> GenerationConfig:

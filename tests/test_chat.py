@@ -125,3 +125,37 @@ class TestGeneratorTask:
         assert cfg.strategy == "greedy" and cfg.max_new_tokens == 7
         cfg2 = resolve_generation_config("creative")
         assert cfg2.sampling.temperature == 1.0
+
+
+class TestConversationKvReuse:
+    def test_multi_turn_reuses_prefix_and_matches_fresh(self, llama_dir):
+        from kjarni_tpu.models.decoder_lm import DecoderLM
+        cfg_kwargs = dict(preset="greedy", max_new_tokens=4, max_length=64)
+
+        chat_a = Chat(str(llama_dir), system_prompt="be brief", max_context=128)
+        r1 = chat_a.send("hello world", **cfg_kwargs)
+        first_prefill = chat_a.lm.last_prefill_tokens
+        r2 = chat_a.send("the doctor", **cfg_kwargs)
+        second_prefill = chat_a.lm.last_prefill_tokens
+        # turn 2 re-sends the whole conversation but only prefills the delta
+        full_len = len(chat_a.lm.tokenizer.encode(
+            chat_a.lm.apply_chat_template(chat_a.conversation),
+            add_special_tokens=False))
+        assert second_prefill < full_len
+
+        # a fresh chat must produce the same replies (reuse is lossless)
+        chat_b = Chat(str(llama_dir), system_prompt="be brief", max_context=128)
+        chat_b.lm._min_reuse_prefix = 10**9  # disable reuse
+        assert chat_b.send("hello world", **cfg_kwargs) == r1
+        assert chat_b.send("the doctor", **cfg_kwargs) == r2
+
+    def test_diverging_prompt_invalidates_prefix(self, llama_dir):
+        from kjarni_tpu.generate.sampling import GenerationConfig
+        from kjarni_tpu.models.decoder_lm import DecoderLM
+        lm = DecoderLM(llama_dir, max_context=64)
+        cfg = GenerationConfig.greedy(max_new_tokens=4, max_length=64)
+        a = lm.generate("hello world the doctor and the", config=cfg)
+        # different prompt with a long shared prefix but divergent tail
+        b = lm.generate("hello world the doctor and a", config=cfg)
+        lm2 = DecoderLM(llama_dir, max_context=64)
+        assert lm2.generate("hello world the doctor and a", config=cfg) == b
