@@ -40,6 +40,10 @@ def _setup_logging(verbosity: int) -> None:
     level = {0: logging.WARNING, 1: logging.INFO, 2: logging.DEBUG}.get(
         min(verbosity, 2), logging.DEBUG)
     logging.basicConfig(level=level, format="%(levelname)s %(name)s: %(message)s")
+    if verbosity >= 1:
+        # -v also prints prefill/decode token throughput (stats.rs toggle)
+        from ..core.stats import enable_stats
+        enable_stats(True)
 
 
 _CONFIG_TASK_BY_COMMAND = {

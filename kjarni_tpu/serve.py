@@ -122,8 +122,32 @@ class _Engine:
                 return {"texts": gen.generate_batch(body["prompts"], **kw)}
             return {"text": gen.generate(body["prompt"], **kw)}
         if path == "/v1/chat":
-            chat = self.get("chat", model)
-            return {"reply": chat.send(body["message"])}
+            # per-session conversation state: {"session": "abc"} isolates users
+            session = body.get("session", "default")
+            key = ("chat-session", body.get("model") or self.defaults["chat"],
+                   session)
+            with self._lock:
+                chat = self._cache.get(key)
+            if chat is None:
+                from .tasks.chat import Chat
+                base = self.get("chat", model)  # shares the loaded weights? no —
+                # Chat owns its conversation; construct per session but reuse the
+                # underlying DecoderLM by cloning the task around it
+                chat = Chat.__new__(Chat)
+                chat.device = base.device
+                chat.model_info = base.model_info
+                chat.model_id = base.model_id
+                chat._lm = base._lm
+                from .chat_templates import Conversation
+                sp = base._lm.chat_template.default_system_prompt()
+                chat._conversation = (Conversation.with_system(sp) if sp
+                                      else Conversation())
+                with self._lock:
+                    self._cache[key] = chat
+            if body.get("reset"):
+                chat.clear_history(keep_system=True)
+            return {"reply": chat.send(body["message"]),
+                    "session": session}
         if path == "/v1/search":
             s = self.get("search", model)
             results = s.search(body["index"], body["query"],
