@@ -135,3 +135,40 @@ def encoder_param_sharding(mesh: Mesh) -> dict:
         "pooler": {"w": rep2, "b": _ns(mesh, None)},
         "rel_bias": rep2,
     }
+
+
+def t5_param_sharding(mesh: Mesh) -> dict:
+    """Sharding pytree for models/t5.py load_params() — Megatron TP on both
+    stacks; cross-attention shards like self-attention."""
+    col = {"w": _ns(mesh, None, None, "tp")}
+    row = {"w": _ns(mesh, None, "tp", None)}
+    rep1 = _ns(mesh, None)
+    rep2 = _ns(mesh, None, None)
+    stack = {
+        "q": _ns(mesh, None, None, "tp"), "k": _ns(mesh, None, None, "tp"),
+        "v": _ns(mesh, None, None, "tp"), "o": _ns(mesh, None, "tp", None),
+        "cross_q": _ns(mesh, None, None, "tp"),
+        "cross_k": _ns(mesh, None, None, "tp"),
+        "cross_v": _ns(mesh, None, None, "tp"),
+        "cross_o": _ns(mesh, None, "tp", None),
+        "wi": _ns(mesh, None, None, "tp"),
+        "wi0": _ns(mesh, None, None, "tp"),
+        "wi1": _ns(mesh, None, None, "tp"),
+        "wo": _ns(mesh, None, "tp", None),
+        "attn_norm": rep2, "ffn_norm": rep2, "self_norm": rep2,
+        "cross_norm": rep2,
+    }
+    return {
+        "shared": rep2, "enc": stack, "dec": stack,
+        "enc_rel_bias": rep2, "dec_rel_bias": rep2,
+        "enc_final_norm": rep1, "dec_final_norm": rep1,
+        "lm_head": _ns(mesh, None, "tp"),
+    }
+
+
+def shard_params_with(params: dict, sharding_tree: dict, mesh: Mesh) -> dict:
+    """Generic placement: align + device_put any model family's pytree."""
+    sh = _match_structure(params, sharding_tree, mesh)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s) if x is not None else None,
+        params, sh, is_leaf=lambda x: x is None or hasattr(x, "shape"))

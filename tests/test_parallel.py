@@ -145,3 +145,45 @@ class TestTensorParallelEncoder:
                 lambda p, i, m, t: kbert.encode(p, enc.config, i, m, t)
             )(params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)))
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestSeq2SeqSharding:
+    def test_t5_tp_matches_replicated(self, tmp_path):
+        import sys, os, json, torch
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from helpers import save_torch_model
+        from transformers import T5Config, T5ForConditionalGeneration
+        from kjarni_tpu.models import t5 as kt5
+        from kjarni_tpu.weights.safetensors_loader import ModelWeights
+        from kjarni_tpu.parallel.mesh import shard_params_with, t5_param_sharding
+
+        config = T5Config(vocab_size=96, d_model=32, d_kv=8, d_ff=64,
+                          num_layers=2, num_decoder_layers=2, num_heads=4,
+                          relative_attention_num_buckets=8,
+                          feed_forward_proj="gated-gelu",
+                          tie_word_embeddings=False, decoder_start_token_id=0)
+        torch.manual_seed(71)
+        save_torch_model(tmp_path, T5ForConditionalGeneration(config).eval(),
+                         config)
+        hf = json.loads((tmp_path / "config.json").read_text())
+        cfg = kt5.T5Config.from_hf(hf)
+        params = jax.tree.map(jnp.asarray,
+                              kt5.load_params(ModelWeights(tmp_path), cfg))
+        enc_ids = jnp.asarray(np.array([[5, 9, 23, 1]], dtype=np.int32))
+        enc_mask = jnp.ones_like(enc_ids)
+        dec_ids = jnp.asarray(np.array([[0, 42, 17]], dtype=np.int32))
+
+        def full(params):
+            enc = kt5.encode(params, cfg, enc_ids, enc_mask)
+            ck, cv = kt5.precompute_cross_kv(params, cfg, enc)
+            sk, sv = kt5.init_self_cache(cfg, 1, 8)
+            logits, _, _ = kt5.decode_step(params, cfg, dec_ids, sk, sv, ck, cv,
+                                           enc_mask, 0)
+            return logits
+
+        ref = np.asarray(full(params))
+        mesh = make_mesh(8, dp=2, tp=4)
+        sp = shard_params_with(params, t5_param_sharding(mesh), mesh)
+        with mesh:
+            got = np.asarray(jax.jit(full)(sp))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
