@@ -172,3 +172,49 @@ def shard_params_with(params: dict, sharding_tree: dict, mesh: Mesh) -> dict:
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s) if x is not None else None,
         params, sh, is_leaf=lambda x: x is None or hasattr(x, "shape"))
+
+
+def _encdec_stack_sharding(mesh: Mesh) -> dict:
+    """Shared layout for BART/Whisper-style stacks ({"w","b"} linear dicts)."""
+    col = {"w": _ns(mesh, None, None, "tp"), "b": _ns(mesh, None, "tp")}
+    row = {"w": _ns(mesh, None, "tp", None), "b": _ns(mesh, None, None)}
+    rep2 = _ns(mesh, None, None)
+    norm = {"weight": rep2, "bias": rep2}
+    return {
+        "q": col, "k": col, "v": col, "o": row,
+        "cross_q": col, "cross_k": col, "cross_v": col, "cross_o": row,
+        "fc1": col, "fc2": row,
+        "attn_norm": norm, "ffn_norm": norm, "self_norm": norm,
+        "cross_norm": norm,
+    }
+
+
+def bart_param_sharding(mesh: Mesh) -> dict:
+    """Sharding pytree for models/bart.py load_params()."""
+    rep1 = _ns(mesh, None)
+    rep2 = _ns(mesh, None, None)
+    norm = {"weight": rep1, "bias": rep1}
+    stack = _encdec_stack_sharding(mesh)
+    return {
+        "shared": rep2, "enc_pos": rep2, "dec_pos": rep2,
+        "enc_emb_norm": norm, "dec_emb_norm": norm,
+        "enc": stack, "dec": stack,
+        "lm_head": _ns(mesh, None, "tp"),
+        "final_logits_bias": _ns(mesh, "tp"),
+    }
+
+
+def whisper_param_sharding(mesh: Mesh) -> dict:
+    """Sharding pytree for models/whisper.py load_params()."""
+    rep1 = _ns(mesh, None)
+    rep2 = _ns(mesh, None, None)
+    norm = {"weight": rep1, "bias": rep1}
+    stack = _encdec_stack_sharding(mesh)
+    return {
+        "conv1_w": _ns(mesh, None, None, None), "conv1_b": rep1,
+        "conv2_w": _ns(mesh, None, None, None), "conv2_b": rep1,
+        "enc_pos": rep2, "dec_pos": rep2, "embed": rep2,
+        "enc": stack, "dec": stack,
+        "enc_final_norm": norm, "dec_final_norm": norm,
+        "lm_head": _ns(mesh, None, "tp"),
+    }

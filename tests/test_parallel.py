@@ -187,3 +187,44 @@ class TestSeq2SeqSharding:
         with mesh:
             got = np.asarray(jax.jit(full)(sp))
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+    def test_bart_tp_matches_replicated(self, tmp_path):
+        import sys, os, json, torch
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from helpers import save_torch_model
+        from transformers import BartConfig, BartForConditionalGeneration
+        from kjarni_tpu.models import bart as kbart
+        from kjarni_tpu.weights.safetensors_loader import ModelWeights
+        from kjarni_tpu.parallel.mesh import (bart_param_sharding,
+                                              shard_params_with)
+        config = BartConfig(vocab_size=96, d_model=32, encoder_layers=1,
+                            decoder_layers=1, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=64,
+                            pad_token_id=1, bos_token_id=0, eos_token_id=2,
+                            decoder_start_token_id=2)
+        torch.manual_seed(72)
+        save_torch_model(tmp_path, BartForConditionalGeneration(config).eval(),
+                         config)
+        hf = json.loads((tmp_path / "config.json").read_text())
+        cfg = kbart.BartConfig.from_hf(hf)
+        params = jax.tree.map(jnp.asarray,
+                              kbart.load_params(ModelWeights(tmp_path), cfg))
+        enc_ids = jnp.asarray(np.array([[0, 5, 9, 2]], dtype=np.int32))
+        enc_mask = jnp.ones_like(enc_ids)
+        dec_ids = jnp.asarray(np.array([[2, 0, 42]], dtype=np.int32))
+
+        def full(params):
+            enc = kbart.encode(params, cfg, enc_ids, enc_mask)
+            ck, cv = kbart.precompute_cross_kv(params, cfg, enc)
+            sk, sv = kbart.init_self_cache(cfg, 1, 8)
+            logits, _, _ = kbart.decode_step(params, cfg, dec_ids, sk, sv,
+                                             ck, cv, enc_mask, 0)
+            return logits
+
+        ref = np.asarray(full(params))
+        mesh = make_mesh(8, dp=2, tp=4)
+        sp = shard_params_with(params, bart_param_sharding(mesh), mesh)
+        with mesh:
+            got = np.asarray(jax.jit(full)(sp))
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
