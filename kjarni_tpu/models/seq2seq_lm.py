@@ -96,6 +96,7 @@ class Seq2SeqLM:
 
         self._encode_and_cross = _encode_and_cross
         self._step = _step
+        self._fused_runners: dict = {}
 
     @staticmethod
     def _parse_task_params(hf_cfg: dict) -> dict[str, Seq2SeqTaskParams]:
@@ -163,6 +164,10 @@ class Seq2SeqLM:
             text = tp.prefix + text
 
         enc_ids, enc_mask = self._encode_input(text, max_input_len)
+        if stream_callback is None:
+            toks = self._generate_fused(bs_cfg, enc_ids, enc_mask)
+            return self.tokenizer.decode(toks, skip_special_tokens=True).strip()
+
         _, ck, cv = self._encode_and_cross(self.params, enc_ids, enc_mask)
         k = bs_cfg.num_beams
         # tile encoder state across beams
@@ -182,3 +187,47 @@ class Seq2SeqLM:
 
         hyp = beam_search(step_fn, bs_cfg, stream_callback)
         return self.tokenizer.decode(hyp.tokens, skip_special_tokens=True).strip()
+
+    def _generate_fused(self, bs_cfg: BeamSearchConfig, enc_ids, enc_mask
+                        ) -> list[int]:
+        """Whole beam generation (encode + cross-KV + beam while_loop) as ONE
+        device dispatch (generate/beam_fused.py)."""
+        from ..generate.beam_fused import build_fused_beam
+
+        cfg = self.config
+        fam = self.family
+        k = bs_cfg.num_beams
+        cache_len = seq_bucket(bs_cfg.max_length + 1, self.max_decode_len)
+        key = (bs_cfg.num_beams, bs_cfg.max_length, bs_cfg.min_length,
+               bs_cfg.length_penalty, bs_cfg.early_stopping,
+               bs_cfg.no_repeat_ngram_size, bs_cfg.eos_token_id,
+               bs_cfg.decoder_start_token_id, bs_cfg.forced_bos_token_id,
+               bs_cfg.forced_eos_token_id, int(enc_ids.shape[1]), cache_len)
+        run = self._fused_runners.get(key)
+        if run is None:
+            @jax.jit
+            def run(params, enc_ids, enc_mask):
+                enc = fam.encode(params, cfg, enc_ids, enc_mask)
+                ck, cv = fam.precompute_cross_kv(params, cfg, enc)
+                ck = jnp.repeat(ck, k, axis=1)
+                cv = jnp.repeat(cv, k, axis=1)
+                mask_t = jnp.repeat(enc_mask, k, axis=0)
+                sk, sv = fam.init_self_cache(cfg, k, cache_len,
+                                             params["shared"].dtype
+                                             if "shared" in params
+                                             else enc.dtype)
+
+                def decode_fn(cur, sk, sv, pos, parents):
+                    sk = jnp.take(sk, parents, axis=1)
+                    sv = jnp.take(sv, parents, axis=1)
+                    logits, sk, sv = fam.decode_step(params, cfg, cur, sk, sv,
+                                                     ck, cv, mask_t, pos)
+                    return logits[:, -1, :], sk, sv
+
+                runner = build_fused_beam(decode_fn, bs_cfg, cfg.vocab_size,
+                                          cache_len - 1)
+                return runner(sk, sv)
+
+            self._fused_runners[key] = run
+        out, n = run(self.params, enc_ids, enc_mask)
+        return [int(t) for t in np.asarray(out[:int(n)])]

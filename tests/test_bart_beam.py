@@ -132,3 +132,48 @@ class TestBeamSearchVsHF:
         if expected_core and expected_core[-1] == cfg.eos_token_id:
             expected_core = expected_core[:-1]
         assert hyp.tokens == expected_core
+
+
+class TestFusedBeamEquivalence:
+    @pytest.mark.parametrize("seed", [3, 4, 8, 15])
+    def test_fused_matches_host_beam(self, tmp_path, seed):
+        d = tmp_path / f"m{seed}"
+        d.mkdir()
+        model, cfg, params = bart_checkpoint(d, seed=seed, with_tokenizer=True)
+        lm = Seq2SeqLM(d)
+        enc_ids = np.array([[0, 5, 9, 13, 2]], dtype=np.int32)
+        enc_mask = np.ones_like(enc_ids)
+
+        from kjarni_tpu.generate.beam import BeamSearchConfig, beam_search
+        import jax.numpy as jnp
+
+        bs = BeamSearchConfig(
+            num_beams=3, max_length=12, min_length=2, length_penalty=2.0,
+            early_stopping=True, no_repeat_ngram_size=3,
+            eos_token_id=cfg.eos_token_id,
+            decoder_start_token_id=cfg.decoder_start_token_id,
+            forced_bos_token_id=cfg.forced_bos_token_id,
+            forced_eos_token_id=cfg.forced_eos_token_id)
+
+        # host path
+        _, ck, cv = lm._encode_and_cross(lm.params, jnp.asarray(enc_ids),
+                                         jnp.asarray(enc_mask))
+        k = bs.num_beams
+        ck = jnp.repeat(ck, k, axis=1)
+        cv = jnp.repeat(cv, k, axis=1)
+        bm = jnp.repeat(jnp.asarray(enc_mask), k, axis=0)
+        import kjarni_tpu.models.bart as kbart2
+        sk, sv = kbart2.init_self_cache(cfg, k, 16)
+        state = {"sk": sk, "sv": sv}
+
+        def step_fn(tokens, pos, parents):
+            logits, state["sk"], state["sv"] = lm._step(
+                lm.params, jnp.asarray(tokens[:, None]), state["sk"],
+                state["sv"], ck, cv, bm, jnp.int32(pos), jnp.asarray(parents))
+            return logits
+
+        host_hyp = beam_search(step_fn, bs)
+
+        fused = lm._generate_fused(bs, jnp.asarray(enc_ids),
+                                   jnp.asarray(enc_mask))
+        assert fused == host_hyp.tokens, (seed, fused, host_hyp.tokens)
