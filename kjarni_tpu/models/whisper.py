@@ -163,12 +163,16 @@ def _conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return out + b[None, :, None]
 
 
-def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
+def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray,
+           use_flash: bool = False) -> jnp.ndarray:
     """mel [B, n_mels, 3000] -> hidden [B, 1500, d_model].
 
     Conv frontend (conv1 s=1 + GELU, conv2 s=2 + GELU, + positions) then the
     pre-norm encoder stack (cf. AudioConvFrontend::forward mel.rs:303 and
-    whisper/model.rs:250).
+    whisper/model.rs:250). `use_flash` (static) routes through the Pallas flash
+    kernel — measured SLOWER here (13.8ms vs 4.1ms on v5e: at B=1, 12 heads,
+    non-causal 1500, XLA's batched GEMMs beat the kernel's sequential grid), so
+    it stays off by default; the flag exists for larger-batch serving shapes.
     """
     B = mel.shape[0]
     H, D = cfg.encoder_heads, cfg.head_dim
@@ -183,7 +187,11 @@ def encode(params: dict, cfg: WhisperConfig, mel: jnp.ndarray) -> jnp.ndarray:
         q = _heads(_apply(hn, lp["q"]), B, S, H, D)
         k = _heads(_apply(hn, lp["k"]), B, S, H, D)
         v = _heads(_apply(hn, lp["v"]), B, S, H, D)
-        ctx = merge_heads(attention(q, k, v))
+        if use_flash:
+            from ..ops.pallas.flash_attention import flash_attention
+            ctx = merge_heads(flash_attention(q, k, v))
+        else:
+            ctx = merge_heads(attention(q, k, v))
         h = h + _apply(ctx, lp["o"])
         hn = layer_norm(h, lp["ffn_norm"]["weight"], lp["ffn_norm"]["bias"])
         ffn = _apply(gelu(_apply(hn, lp["fc1"])), lp["fc2"])
