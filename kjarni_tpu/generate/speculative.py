@@ -105,6 +105,75 @@ class SpeculativeGenerator:
         self._verify_greedy = verify_greedy
         self._verify_prob = verify_prob
 
+        stop_ids = jnp.asarray(sorted(self.target.stop_token_ids) or [-1],
+                               dtype=jnp.int32)
+
+        @partial(jax.jit, donate_argnums=(2, 3, 4, 5),
+                 static_argnames=("max_new", "max_pos"))
+        def fused_loop(t_params, d_params, tck, tcv, dck, dcv, cur0, pos0,
+                       rng, *, max_new, max_pos):
+            """The whole speculative loop on device: draft-scan -> target
+            verify -> accept, iterated in a while_loop with on-device EOS exit.
+            One dispatch (+ one readback) per generation."""
+            out = jnp.full((max_new,), -1, jnp.int32)
+
+            def cond(state):
+                _, done, *_rest, n_out = state[:2] + (state[-1],)
+                # unpack explicitly below instead
+                return jnp.bool_(True)
+
+            def cond2(state):
+                done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
+                return jnp.logical_not(done) & (n_out < max_new) &                     (pos + k + 2 < max_pos)
+
+            def body(state):
+                done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
+
+                def d_body(carry, i):
+                    tok, dck, dcv = carry
+                    lg, dck, dcv = d_fwd(d_params, d_cfg, tok[None, None],
+                                         dck, dcv, pos + i)
+                    nxt = jnp.argmax(lg[0, 0]).astype(jnp.int32)
+                    return (nxt, dck, dcv), nxt
+                (_, dck, dcv), d_toks_all = jax.lax.scan(
+                    d_body, (cur, dck, dcv), jnp.arange(k + 1))
+                d_toks = d_toks_all[:k]
+
+                tokens_in = jnp.concatenate([cur[None], d_toks])
+                t_logits, tck, tcv = t_fwd(t_params, t_cfg, tokens_in[None, :],
+                                           tck, tcv, pos)
+                preds = jnp.argmax(t_logits[0], axis=-1).astype(jnp.int32)
+                matches = preds[:k] == d_toks
+                n_acc = jnp.argmin(jnp.concatenate(
+                    [matches, jnp.array([False])]).astype(jnp.int32))
+                nxt = preds[n_acc]
+
+                # emit accepted drafts then the bonus token, honoring stops
+                emit = jnp.concatenate([d_toks, nxt[None]])      # [k+1]
+                emit_valid = jnp.concatenate(
+                    [jnp.arange(k) < n_acc, jnp.array([True])])
+                is_stop = jnp.any(emit[:, None] == stop_ids[None, :], axis=1)
+                stop_seen = jnp.cumsum((is_stop & emit_valid)
+                                       .astype(jnp.int32)) > 0
+                keep = emit_valid & jnp.logical_not(stop_seen) &                     (n_out + jnp.cumsum(emit_valid.astype(jnp.int32)) - 1
+                     < max_new)
+                # scatter kept tokens into out at running positions
+                slot = n_out + jnp.cumsum(keep.astype(jnp.int32)) - 1
+                out = out.at[jnp.where(keep, slot, max_new)].set(
+                    jnp.where(keep, emit, -1), mode="drop")
+                n_kept = jnp.sum(keep.astype(jnp.int32))
+                done = jnp.any(is_stop & emit_valid) |                     (n_out + n_kept >= max_new)
+                return (done, nxt, pos + n_acc + 1, tck, tcv, dck, dcv, out,
+                        n_out + n_kept, rng)
+
+            state = (jnp.bool_(False), cur0, pos0, tck, tcv, dck, dcv, out,
+                     jnp.int32(0), rng)
+            state = jax.lax.while_loop(cond2, body, state)
+            done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
+            return out, n_out, tck, tcv, dck, dcv
+
+        self._fused_loop = fused_loop
+
     def generate_stream(self, prompt: Optional[str] = None, *,
                         token_ids=None,
                         config: Optional[GenerationConfig] = None,
@@ -198,5 +267,51 @@ class SpeculativeGenerator:
             stats.mark_decode_done(n_generated)
             stats.print_summary()
 
-    def generate(self, prompt: str, **kw) -> str:
-        return "".join(st.text for st in self.generate_stream(prompt, **kw))
+    def generate(self, prompt: str, *,
+                 config: Optional[GenerationConfig] = None,
+                 fused: bool = True) -> str:
+        """Blocking speculative generation; fused=True runs the entire loop
+        as one device dispatch (greedy strategy only)."""
+        gen = config or GenerationConfig.greedy()
+        if not fused or self.probabilistic or gen.strategy != "greedy":
+            return "".join(st.text for st in
+                           self.generate_stream(prompt, config=gen))
+        target, draft = self.target, self.draft
+        ids = target.encode_prompt(prompt, gen.add_bos_token)
+        ids = ids[: target.max_context - self.k - 2]
+        prompt_len = len(ids)
+
+        tck, tcv = target._ensure_cache()
+        if draft is target:
+            dck, dcv = draft.family.init_cache(draft.config, 1,
+                                               draft.max_context,
+                                               draft._cache_dtype)
+        else:
+            dck, dcv = draft._ensure_cache()
+        bucket = seq_bucket(prompt_len, target.max_context)
+        padded = np.zeros((1, bucket), dtype=np.int32)
+        padded[0, :prompt_len] = ids
+        t_logits, tck, tcv = target._prefill(target.params, tck, tcv,
+                                             jnp.asarray(padded),
+                                             prompt_len - 1)
+        _, dck, dcv = draft._prefill(draft.params, dck, dcv,
+                                     jnp.asarray(padded), prompt_len - 1)
+        cur = jnp.argmax(t_logits).astype(jnp.int32)
+        c = int(cur)
+        if c in target.stop_token_ids:
+            return ""
+        max_new = gen.max_new_tokens if gen.max_new_tokens is not None else             max(gen.max_length - prompt_len, 0)
+        max_pos = min(target.max_context, gen.max_length, draft.max_context)
+        toks = [c]
+        if max_new > 1:
+            out, n, tck, tcv, dck, dcv = self._fused_loop(
+                target.params, draft.params, tck, tcv, dck, dcv, cur,
+                jnp.int32(prompt_len),
+                jax.random.PRNGKey(gen.seed or 0),
+                max_new=int(max_new - 1), max_pos=int(max_pos))
+            toks += [int(t) for t in np.asarray(out[:int(n)]) if t >= 0]
+        target._cache = (tck, tcv)
+        draft._cache = (dck, dcv)
+        target._session_ids = []
+        draft._session_ids = []
+        return target.tokenizer.decode(toks, skip_special_tokens=True)

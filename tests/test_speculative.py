@@ -91,3 +91,21 @@ class TestSpeculative:
         with pytest.raises(GenerationError):
             bad = DecoderLM(tmp_path, max_context=64)
             SpeculativeGenerator(target, bad)
+
+
+class TestFusedSpeculative:
+    def test_fused_matches_streaming(self, models):
+        target, draft = models
+        cfg = GenerationConfig.greedy(max_new_tokens=12, max_length=64)
+        spec = SpeculativeGenerator(target, draft, num_tokens=4)
+        streamed = "".join(st.text for st in spec.generate_stream(
+            "hello world the", config=cfg))
+        fused = spec.generate("hello world the", config=cfg, fused=True)
+        assert fused == streamed
+
+    def test_fused_matches_vanilla_greedy(self, models):
+        target, draft = models
+        cfg = GenerationConfig.greedy(max_new_tokens=10, max_length=64)
+        vanilla = target.generate("doctor physician", config=cfg, fused=False)
+        spec = SpeculativeGenerator(target, draft, num_tokens=3)
+        assert spec.generate("doctor physician", config=cfg) == vanilla
