@@ -153,6 +153,8 @@ class GgufFile:
             out = dequant_q4_0(raw)
         elif ttype == GGML_Q4_K:
             out = dequant_q4_k(raw)
+        elif ttype == GGML_Q5_K:
+            out = dequant_q5_k(raw)
         elif ttype == GGML_Q6_K:
             out = dequant_q6_k(raw)
         else:
@@ -218,6 +220,31 @@ def dequant_q4_k(raw: np.ndarray) -> np.ndarray:
             - dmin * mi[:, 2 * c:2 * c + 1]
         out[:, 2 * c + 1] = d * sc[:, 2 * c + 1:2 * c + 2] * hi[:, c] \
             - dmin * mi[:, 2 * c + 1:2 * c + 2]
+    return out.reshape(-1)
+
+
+def dequant_q5_k(raw: np.ndarray) -> np.ndarray:
+    """Q5_K: 176-byte super-blocks (DType::Q5_K, tensor/dtype.rs:6).
+
+    Layout: d (f16), dmin (f16), scales[12], qh[32] (5th bits), qs[128]
+    (low nibbles). q = nibble + (qh bit ? 16 : 0), y = d*sc*q - dmin*m; the
+    qh bit pair advances by 2 per 64-element chunk.
+    """
+    blocks = raw.reshape(-1, 176)
+    n = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    sc, mi = _unpack_q4k_scales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]            # [n, 32]
+    qs = blocks[:, 48:176].reshape(n, 4, 32)  # 4 chunks of 32 bytes
+    out = np.empty((n, 8, 32), dtype=np.float32)
+    for c in range(4):
+        u1 = np.uint8(1 << (2 * c))
+        u2 = np.uint8(2 << (2 * c))
+        lo = (qs[:, c] & 0x0F).astype(np.float32) +             np.where((qh & u1) != 0, 16.0, 0.0)
+        hi = (qs[:, c] >> 4).astype(np.float32) +             np.where((qh & u2) != 0, 16.0, 0.0)
+        out[:, 2 * c] = d * sc[:, 2 * c:2 * c + 1] * lo             - dmin * mi[:, 2 * c:2 * c + 1]
+        out[:, 2 * c + 1] = d * sc[:, 2 * c + 1:2 * c + 2] * hi             - dmin * mi[:, 2 * c + 1:2 * c + 2]
     return out.reshape(-1)
 
 

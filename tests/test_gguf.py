@@ -264,3 +264,52 @@ class TestGgufContainer:
             "hello world", config=GenerationConfig.greedy(max_new_tokens=4,
                                                           max_length=32))]
         assert all(0 <= t < V for t in out)
+
+
+def random_q5k_block(rng) -> bytes:
+    d = np.float16(rng.uniform(0.01, 0.1))
+    dmin = np.float16(rng.uniform(0.0, 0.05))
+    scales = rng.integers(0, 256, 12, dtype=np.uint8).tobytes()
+    qh = rng.integers(0, 256, 32, dtype=np.uint8).tobytes()
+    qs = rng.integers(0, 256, 128, dtype=np.uint8).tobytes()
+    return d.tobytes() + dmin.tobytes() + scales + qh + qs
+
+
+def ref_dequant_q5k(raw: bytes) -> np.ndarray:
+    b = np.frombuffer(raw, dtype=np.uint8)
+    d = b[0:2].view(np.float16)[0].astype(np.float32)
+    dmin = b[2:4].view(np.float16)[0].astype(np.float32)
+    scales = b[4:16]
+    qh = b[16:48]
+    ql = b[48:176]
+    sc = np.zeros(8); mi = np.zeros(8)
+    for j in range(4):
+        sc[j] = scales[j] & 63
+        mi[j] = scales[j + 4] & 63
+    for j in range(4, 8):
+        sc[j] = (scales[j + 4] & 0xF) | ((scales[j - 4] >> 6) << 4)
+        mi[j] = (scales[j + 4] >> 4) | ((scales[j] >> 6) << 4)
+    y = np.zeros(256, dtype=np.float32)
+    pos = 0; q = 0; is_ = 0; u1, u2 = 1, 2
+    for _ in range(4):
+        d1, m1 = d * sc[is_], dmin * mi[is_]
+        d2, m2 = d * sc[is_ + 1], dmin * mi[is_ + 1]
+        for l in range(32):
+            y[pos + l] = d1 * ((int(ql[q + l]) & 0xF) +
+                               (16 if int(qh[l]) & u1 else 0)) - m1
+        for l in range(32):
+            y[pos + 32 + l] = d2 * ((int(ql[q + l]) >> 4) +
+                                    (16 if int(qh[l]) & u2 else 0)) - m2
+        pos += 64; q += 32; is_ += 2; u1 <<= 2; u2 <<= 2
+    return y
+
+
+class TestQ5K:
+    def test_q5_k_matches_scalar_reference(self):
+        from kjarni_tpu.weights.gguf import dequant_q5_k
+        rng = np.random.default_rng(5)
+        raws = [random_q5k_block(rng) for _ in range(3)]
+        raw = np.frombuffer(b"".join(raws), dtype=np.uint8)
+        got = dequant_q5_k(raw)
+        expected = np.concatenate([ref_dequant_q5k(r) for r in raws])
+        np.testing.assert_allclose(got, expected, atol=1e-5)
