@@ -118,11 +118,6 @@ class SpeculativeGenerator:
             out = jnp.full((max_new,), -1, jnp.int32)
 
             def cond(state):
-                _, done, *_rest, n_out = state[:2] + (state[-1],)
-                # unpack explicitly below instead
-                return jnp.bool_(True)
-
-            def cond2(state):
                 done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
                 return jnp.logical_not(done) & (n_out < max_new) &                     (pos + k + 2 < max_pos)
 
@@ -168,7 +163,7 @@ class SpeculativeGenerator:
 
             state = (jnp.bool_(False), cur0, pos0, tck, tcv, dck, dcv, out,
                      jnp.int32(0), rng)
-            state = jax.lax.while_loop(cond2, body, state)
+            state = jax.lax.while_loop(cond, body, state)
             done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
             return out, n_out, tck, tcv, dck, dcv
 
