@@ -13,7 +13,6 @@ import argparse
 import json
 import logging
 import sys
-from pathlib import Path
 
 from .. import registry
 from ..core.errors import KjarniError
@@ -194,7 +193,6 @@ def _model_overrides(model: str) -> dict:
 
 
 def cmd_generate(args) -> int:
-    from ..generate.sampling import GenerationConfig
     from ..tasks.generator import Generator, resolve_generation_config
     text = _read_text(args.prompt)
     gen = Generator(args.model, quiet=args.quiet, **_model_overrides(args.model))

@@ -10,7 +10,7 @@ to maintain (XLA manages HBM/VMEM within the device).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

@@ -13,7 +13,7 @@ bookkeeping on a [k, V] logprob matrix per step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator, Optional
+from typing import Callable, Optional
 
 import numpy as np
 

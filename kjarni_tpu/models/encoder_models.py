@@ -10,7 +10,6 @@ ComputeStrategy dispatch (cpu/strategy.rs).
 from __future__ import annotations
 
 import json
-from functools import partial
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -18,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.errors import InvalidConfigError, WeightLoadError
+from ..core.errors import WeightLoadError
 from ..ops.pooling import PoolingStrategy, pool
 from ..tokenizer import KjarniTokenizer
 from ..weights.safetensors_loader import ModelWeights

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core.bucketing import seq_bucket
 from ..core.errors import InvalidConfigError
-from ..generate.beam import BeamHypothesis, BeamSearchConfig, beam_search
+from ..generate.beam import BeamSearchConfig, beam_search
 from ..tokenizer import KjarniTokenizer
 from ..weights.safetensors_loader import ModelWeights
 from . import bart as kbart

@@ -17,8 +17,6 @@ trick, applied to every seq2seq model here).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.loader import WHISPER_SAMPLE_RATE, load_audio_for_whisper
 from ..audio.mel import MelConfig, log_mel_spectrogram
 from ..core.bucketing import seq_bucket
 from ..tokenizer import KjarniTokenizer

@@ -11,8 +11,6 @@ import dataclasses
 from pathlib import Path
 from typing import Optional, Sequence
 
-import numpy as np
-
 from ..core.errors import TaskValidationError
 from ..models.encoder_models import SequenceClassifier
 from ..registry import ModelTask

@@ -102,7 +102,7 @@ class Indexer:
         segmented layout here supports the same append by writing new segments
         and extending the manifest.
         """
-        from ..rag.index import IndexReader, MANIFEST
+        from ..rag.index import MANIFEST
         import json
         index_path = Path(index_path)
         if not (index_path / MANIFEST).exists():

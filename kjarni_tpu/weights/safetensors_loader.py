@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import struct
 from pathlib import Path
-from typing import Iterator, Mapping
+from typing import Iterator
 
 import ml_dtypes
 import numpy as np
