@@ -68,19 +68,20 @@ class _EncoderBase:
     def hidden_states(self, texts: Sequence[str],
                       pairs: Sequence[str] | None = None) -> tuple[jnp.ndarray, np.ndarray, np.ndarray]:
         ids, mask = self.tokenizer.encode_batch(
-            texts, pairs=pairs, max_len=self.max_seq_len, padding="right")
+            texts, pairs=pairs, max_len=self.max_seq_len, padding="right",
+            pad_batch=True)  # batch bucket -> bounded compile cache
         # token_type ids: second segment = 1 for pair inputs on BERT-type models
         if pairs is not None and self.config.type_vocab_size > 1:
-            tt = self._pair_type_ids(texts, pairs, ids.shape[1])
+            tt = self._pair_type_ids(texts, pairs, ids.shape[1], ids.shape[0])
         else:
             tt = np.zeros_like(ids)
         hidden = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask),
                               jnp.asarray(tt))
         return hidden, ids, mask
 
-    def _pair_type_ids(self, texts, pairs, width) -> np.ndarray:
+    def _pair_type_ids(self, texts, pairs, width, rows=None) -> np.ndarray:
         encs = self.tokenizer.tk.encode_batch(list(zip(texts, pairs)))
-        tt = np.zeros((len(texts), width), dtype=np.int32)
+        tt = np.zeros((rows or len(texts), width), dtype=np.int32)
         for i, e in enumerate(encs):
             type_ids = e.type_ids[:width]
             tt[i, :len(type_ids)] = type_ids
@@ -148,9 +149,9 @@ class CrossEncoder(_EncoderBase):
         queries = [q for q, _ in pairs]
         docs = [d for _, d in pairs]
         ids, mask = self.tokenizer.encode_batch(
-            queries, pairs=docs, max_len=self.max_seq_len)
+            queries, pairs=docs, max_len=self.max_seq_len, pad_batch=True)
         if self.config.type_vocab_size > 1:
-            tt = self._pair_type_ids(queries, docs, ids.shape[1])
+            tt = self._pair_type_ids(queries, docs, ids.shape[1], ids.shape[0])
         else:
             tt = np.zeros_like(ids)
         scores = np.asarray(self._score(self.params, self.head.params,
@@ -270,8 +271,8 @@ class SequenceClassifier(_EncoderBase):
     def predict_logits(self, texts: Sequence[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.head.num_classes), dtype=np.float32)
-        hidden_inputs = self.tokenizer.encode_batch(texts, max_len=self.max_seq_len)
-        ids, mask = hidden_inputs
+        ids, mask = self.tokenizer.encode_batch(texts, max_len=self.max_seq_len,
+                                                pad_batch=True)
         tt = np.zeros_like(ids)
         logits = np.asarray(self._logits(self.params, self.head.params,
                                          jnp.asarray(ids), jnp.asarray(mask),
