@@ -291,6 +291,17 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from ..serve import serve as make_server
+    server = make_server(args.host, args.port)
+    print(f"kjarni serving on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_search(args) -> int:
     from ..tasks.searcher import Searcher
     searcher = Searcher(args.model, reranker_model=args.rerank_model,
@@ -410,6 +421,11 @@ def build_parser() -> argparse.ArgumentParser:
         c.add_argument("--chunk-size", type=int, default=1000)
         c.add_argument("--format", choices=["text", "json"], default="text")
     sp.set_defaults(fn=cmd_index)
+
+    sp = sub.add_parser("serve", help="run the HTTP server")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8000)
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("search", help="search an index")
     sp.add_argument("name")

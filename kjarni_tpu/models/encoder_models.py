@@ -142,10 +142,16 @@ class CrossEncoder(_EncoderBase):
 
         self._score = _score
 
+    MAX_PAIR_BATCH = 256
+
     def predict_pairs(self, pairs: Sequence[tuple[str, str]]) -> np.ndarray:
         """Raw relevance logits, first column (cf. model.rs:170 predict_pairs)."""
         if not pairs:
             return np.zeros((0,), dtype=np.float32)
+        if len(pairs) > self.MAX_PAIR_BATCH:
+            return np.concatenate([
+                self.predict_pairs(pairs[i:i + self.MAX_PAIR_BATCH])
+                for i in range(0, len(pairs), self.MAX_PAIR_BATCH)])
         queries = [q for q, _ in pairs]
         docs = [d for _, d in pairs]
         ids, mask = self.tokenizer.encode_batch(
