@@ -216,11 +216,97 @@ def bench_whisper():
                       "vs_baseline": round(xrt / 30.0, 3)}))
 
 
+def bench_summarize():
+    """DistilBART-CNN-12-6 geometry: 512-token article -> beam-4 summary,
+    fused on-device beam loop (models/seq2seq_lm.py + generate/beam_fused.py)."""
+    import jax
+    import jax.numpy as jnp
+    from kjarni_tpu.models import bart as kbart
+    from kjarni_tpu.generate.beam import BeamSearchConfig
+    from kjarni_tpu.generate.beam_fused import build_fused_beam
+
+    cfg = kbart.BartConfig(
+        vocab_size=50264, d_model=1024, encoder_layers=12, decoder_layers=6,
+        encoder_heads=16, decoder_heads=16, encoder_ffn_dim=4096,
+        decoder_ffn_dim=4096, max_position_embeddings=1024)
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+    H = 1024
+
+    def w(*s, scale=0.02):
+        return jnp.asarray(rng.standard_normal(s) * scale, dt)
+
+    def lin(L, i, o):
+        return {"w": w(L, i, o), "b": w(L, o)}
+
+    def norm(L):
+        return {"weight": jnp.ones((L, H), dt), "bias": jnp.zeros((L, H), dt)}
+
+    enc = {"q": lin(12, H, H), "k": lin(12, H, H), "v": lin(12, H, H),
+           "o": lin(12, H, H), "attn_norm": norm(12), "fc1": lin(12, H, 4096),
+           "fc2": lin(12, 4096, H), "ffn_norm": norm(12)}
+    dec = {"q": lin(6, H, H), "k": lin(6, H, H), "v": lin(6, H, H),
+           "o": lin(6, H, H), "self_norm": norm(6), "cross_q": lin(6, H, H),
+           "cross_k": lin(6, H, H), "cross_v": lin(6, H, H),
+           "cross_o": lin(6, H, H), "cross_norm": norm(6),
+           "fc1": lin(6, H, 4096), "fc2": lin(6, 4096, H), "ffn_norm": norm(6)}
+    shared = w(50264, H)
+    params = {"shared": shared, "enc_pos": w(1026, H), "dec_pos": w(1026, H),
+              "enc_emb_norm": {"weight": jnp.ones(H, dt),
+                               "bias": jnp.zeros(H, dt)},
+              "dec_emb_norm": {"weight": jnp.ones(H, dt),
+                               "bias": jnp.zeros(H, dt)},
+              "enc": enc, "dec": dec, "lm_head": shared.T,
+              "final_logits_bias": jnp.zeros(50264, dt)}
+    bs = BeamSearchConfig(num_beams=4, max_length=142, min_length=56,
+                          length_penalty=2.0, early_stopping=True,
+                          no_repeat_ngram_size=3, eos_token_id=2,
+                          decoder_start_token_id=2, forced_bos_token_id=0,
+                          forced_eos_token_id=2)
+    enc_ids = jnp.asarray(rng.integers(10, 50000, (1, 512)), jnp.int32)
+    enc_mask = jnp.ones((1, 512), jnp.int32)
+    k, cache_len = 4, 256
+
+    @jax.jit
+    def run(params, enc_ids, enc_mask):
+        enc_out = kbart.encode(params, cfg, enc_ids, enc_mask)
+        ck, cv = kbart.precompute_cross_kv(params, cfg, enc_out)
+        ck = jnp.repeat(ck, k, axis=1)
+        cv = jnp.repeat(cv, k, axis=1)
+        mask_t = jnp.repeat(enc_mask, k, axis=0)
+        sk, sv = kbart.init_self_cache(cfg, k, cache_len, dt)
+
+        def decode_fn(cur, sk, sv, pos, parents):
+            sk = jnp.take(sk, parents, axis=1)
+            sv = jnp.take(sv, parents, axis=1)
+            logits, sk, sv = kbart.decode_step(params, cfg, cur, sk, sv, ck,
+                                               cv, mask_t, pos)
+            return logits[:, -1, :], sk, sv
+
+        runner = build_fused_beam(decode_fn, bs, cfg.vocab_size, cache_len - 1)
+        return runner(sk, sv)
+
+    out, n = run(params, enc_ids, enc_mask)
+    int(n)
+    lat = _roundtrip_latency()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, n = run(params, enc_ids, enc_mask)
+        int(n)
+        times.append(time.perf_counter() - t0)
+    per_sec = 1.0 / (min(times) - lat)
+    print(json.dumps({"metric": "distilbart_cnn_summaries_per_sec",
+                      "value": round(per_sec, 2), "unit": "summaries/s/chip",
+                      "vs_baseline": round(per_sec, 3)}))
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="embed",
-                    choices=["embed", "decode", "decode-int8", "whisper"])
+                    choices=["embed", "decode", "decode-int8", "whisper",
+                             "summarize"])
     args = ap.parse_args()
     if args.metric == "decode":
         return bench_decode(False)
@@ -228,6 +314,8 @@ def main():
         return bench_decode(True)
     if args.metric == "whisper":
         return bench_whisper()
+    if args.metric == "summarize":
+        return bench_summarize()
     bench_embed()
 
 

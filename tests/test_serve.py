@@ -76,3 +76,43 @@ class TestServe:
     def test_unknown_endpoint(self, server):
         code, out = post(server, "/v1/nope", {})
         assert code in (400, 404)
+
+
+class TestServeGenerate:
+    def test_generate_and_chat_endpoints(self, tmp_path, capsys):
+        import threading, torch
+        from http.server import ThreadingHTTPServer
+        from helpers import build_word_tokenizer, save_torch_model
+        from transformers import LlamaConfig, LlamaForCausalLM
+        from kjarni_tpu.serve import _Engine, make_handler
+
+        d = tmp_path / "lm"
+        d.mkdir()
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = LlamaConfig(vocab_size=len(vm), hidden_size=32,
+                             intermediate_size=64, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=2,
+                             max_position_embeddings=64, bos_token_id=2,
+                             eos_token_id=3, tie_word_embeddings=False)
+        torch.manual_seed(91)
+        save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+
+        engine = _Engine({"generate": str(d), "chat": str(d)})
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{srv.server_port}"
+        try:
+            code, out = post(base, "/v1/generate",
+                             {"prompt": "hello world", "max_new_tokens": 3,
+                              "preset": "greedy"})
+            assert code == 200 and "text" in out
+            code, out = post(base, "/v1/chat",
+                             {"message": "hello", "session": "s1"})
+            assert code == 200 and "reply" in out
+            # separate session keeps separate history
+            code, out2 = post(base, "/v1/chat",
+                              {"message": "hello", "session": "s2"})
+            assert code == 200
+        finally:
+            srv.shutdown()
