@@ -189,13 +189,18 @@ def _model_overrides(model: str) -> dict:
         out["dtype"] = ov["dtype"]
     if "quantize" in ov:
         out["quantize"] = ov["quantize"]
+    if "execution_plan" in ov:
+        out["execution_plan"] = ov["execution_plan"]
     return out
 
 
 def cmd_generate(args) -> int:
     from ..tasks.generator import Generator, resolve_generation_config
     text = _read_text(args.prompt)
-    gen = Generator(args.model, quiet=args.quiet, **_model_overrides(args.model))
+    overrides = _model_overrides(args.model)
+    if getattr(args, "offload", None):
+        overrides["execution_plan"] = f"offload_{args.offload}"
+    gen = Generator(args.model, quiet=args.quiet, **overrides)
     cfg = resolve_generation_config(
         args.preset, None,
         **({"max_new_tokens": args.max_tokens} if args.max_tokens else {}))
@@ -383,6 +388,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-tokens", type=int)
     sp.add_argument("--preset", choices=["greedy", "creative", "precise",
                                          "balanced"])
+    sp.add_argument("--offload", choices=["embeddings", "head", "ends"],
+                    help="keep the embedding table and/or lm head in host "
+                         "memory (pinned_host) to save HBM")
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_generate)
 

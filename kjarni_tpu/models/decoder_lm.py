@@ -17,6 +17,7 @@ and incremental detokenization — the reference's mpsc-channel machinery
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import random as _random
 from functools import partial
@@ -63,7 +64,8 @@ class DecoderLM:
     def __init__(self, model_dir: Path, dtype="auto",
                  max_context: Optional[int] = None,
                  quantize: Optional[str] = None,
-                 kv_cache: Optional[str] = None):
+                 kv_cache: Optional[str] = None,
+                 execution_plan=None):
         dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
@@ -112,6 +114,26 @@ class DecoderLM:
         elif quantize not in (None, "int8"):
             raise InvalidConfigError(f"unknown quantize mode '{quantize}'")
         self.params = jax.tree.map(jnp.asarray, params)
+
+        # per-stage host offload (ExecutionPlan, execution/plan.rs:4): pin the
+        # embedding table and/or lm head in host memory; the matching compute
+        # runs host-side inside jit (core/placement.py). Llama family only —
+        # gpt2 ties everything through wte. A quantized (dict) head stays on
+        # device: it is already 4x smaller and _head_mm has no host int8 path.
+        from ..core.placement import ExecutionPlan, to_host_memory
+        plan = ExecutionPlan.resolve(execution_plan)
+        self.execution_plan = plan
+        if self.family is kllama and plan != ExecutionPlan():
+            embed_host = plan.embeddings == "host"
+            head_host = (plan.lm_head == "host"
+                         and not isinstance(self.params.get("lm_head"), dict))
+            if embed_host:
+                self.params["embed"] = to_host_memory(self.params["embed"])
+            if head_host:
+                self.params["lm_head"] = to_host_memory(self.params["lm_head"])
+            self.config = dataclasses.replace(
+                cfg, embed_on_host=embed_host, lm_head_on_host=head_host)
+            cfg = self.config
         self._cache_dtype = dtype
         if kv_cache not in (None, "int8"):
             raise InvalidConfigError(f"unknown kv_cache mode '{kv_cache}'")

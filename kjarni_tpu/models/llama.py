@@ -55,6 +55,11 @@ class DecoderConfig:
     tie_word_embeddings: bool = False
     bos_token_id: Optional[int] = None
     eos_token_ids: tuple[int, ...] = ()
+    # per-stage host offload (ExecutionPlan, execution/plan.rs:4): when set,
+    # the corresponding table lives in pinned_host memory and its compute runs
+    # host-side inside the compiled program (core/placement.py)
+    embed_on_host: bool = False
+    lm_head_on_host: bool = False
 
     @staticmethod
     def from_hf(cfg: dict) -> "DecoderConfig":
@@ -327,7 +332,11 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     B, S = ids.shape
     T = (cache_k["q"] if isinstance(cache_k, dict) else cache_k).shape[3]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    x = jnp.take(params["embed"], ids, axis=0)
+    if cfg.embed_on_host:
+        from ..core.placement import host_gather
+        x = host_gather(params["embed"], ids)
+    else:
+        x = jnp.take(params["embed"], ids, axis=0)
 
     slot_q = pos_start + jnp.arange(S)
     if positions is None:
@@ -405,9 +414,16 @@ def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     if last_idx is None:
         last_idx = ids.shape[1] - 1
     last = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)
-    head = params["lm_head"]
-    logits = _mm(last, head) if isinstance(head, dict) else last @ head
+    logits = _head_mm(last, params["lm_head"], cfg)
     return logits, cache_k, cache_v
+
+
+def _head_mm(x, head, cfg: DecoderConfig):
+    """lm-head projection, routed host-side when the plan offloads it."""
+    if cfg.lm_head_on_host and not isinstance(head, dict):
+        from ..core.placement import host_matmul
+        return host_matmul(x, head)
+    return _mm(x, head) if isinstance(head, dict) else x @ head
 
 
 def forward_all_logits(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
@@ -415,6 +431,5 @@ def forward_all_logits(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     """Like forward() but returns logits at every position (parity tests,
     speculative verification)."""
     x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v, pos_start)
-    head = params["lm_head"]
-    logits = _mm(x, head) if isinstance(head, dict) else x @ head
+    logits = _head_mm(x, params["lm_head"], cfg)
     return logits, cache_k, cache_v

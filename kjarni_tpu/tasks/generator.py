@@ -56,6 +56,7 @@ class Generator:
                  max_context: Optional[int] = None,
                  dtype: str = "auto",
                  quantize: Optional[str] = None,
+                 execution_plan=None,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -65,7 +66,7 @@ class Generator:
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
         self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
-                             quantize=quantize)
+                             quantize=quantize, execution_plan=execution_plan)
 
     @property
     def lm(self) -> DecoderLM:

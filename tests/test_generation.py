@@ -238,3 +238,44 @@ class TestInt8KvCache:
         import jax.numpy as jnp
         assert ck["q"].dtype == jnp.int8
         assert ck["s"].ndim == 4
+
+
+class TestExecutionPlan:
+    """Per-stage host offload (ExecutionPlan, execution/plan.rs:4).
+
+    On the CPU test backend jax.memory.Space.Host resolves to the same
+    memory, but the full offload code path (host-space placement, compute_on
+    gather/matmul inside jit) compiles and runs — offloaded generation must be
+    token-identical to the default plan.
+    """
+
+    def test_offload_ends_matches_default(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=64)
+        base = DecoderLM(d, max_context=64)
+        expected = [st.id for st in base.generate_stream("hello world", config=cfg)]
+        off = DecoderLM(d, max_context=64, execution_plan="offload_ends")
+        assert off.config.embed_on_host and off.config.lm_head_on_host
+        got = [st.id for st in off.generate_stream("hello world", config=cfg)]
+        assert got == expected
+
+    def test_offload_fused_loop(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=64)
+        base = DecoderLM(d, max_context=64)
+        expected = base.generate("hello world", config=cfg, fused=True)
+        off = DecoderLM(d, max_context=64, execution_plan="offload_embeddings")
+        assert off.config.embed_on_host and not off.config.lm_head_on_host
+        assert off.generate("hello world", config=cfg, fused=True) == expected
+
+    def test_quantized_head_stays_on_device(self, llama_dir):
+        d, _ = llama_dir
+        off = DecoderLM(d, max_context=64, quantize="int8",
+                        execution_plan="offload_head")
+        assert not off.config.lm_head_on_host  # int8 dict head: no host path
+
+    def test_unknown_preset_rejected(self, llama_dir):
+        d, _ = llama_dir
+        from kjarni_tpu.core.errors import InvalidConfigError
+        with pytest.raises(InvalidConfigError):
+            DecoderLM(d, max_context=64, execution_plan="offload_everything")
