@@ -297,8 +297,11 @@ def cmd_index(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from ..serve import serve as make_server
-    server = make_server(args.host, args.port)
+    from ..serve import parse_model_overrides, serve as make_server
+    server = make_server(args.host, args.port,
+                         default_models=parse_model_overrides(args.models),
+                         max_batch=args.max_batch,
+                         batch_window_ms=args.batch_window_ms)
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()
@@ -433,6 +436,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("serve", help="run the HTTP server")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8000)
+    sp.add_argument("--max-batch", type=int, default=1,
+                    help="group up to N concurrent generate requests into "
+                         "one batched decode (1 = off)")
+    sp.add_argument("--batch-window-ms", type=float, default=10.0)
+    sp.add_argument("--models", action="append", default=[],
+                    metavar="KIND=NAME_OR_PATH",
+                    help="override the model for a task kind, e.g. "
+                         "--models generate=/path/to/model (repeatable)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("search", help="search an index")

@@ -34,9 +34,15 @@ class _Engine:
     """Lazy per-model task cache shared by all request threads."""
 
     def __init__(self, default_models: dict[str, str] | None = None,
-                 quiet: bool = True):
+                 quiet: bool = True, max_batch: int = 1,
+                 batch_window_ms: float = 10.0):
         self._lock = threading.Lock()
         self._cache: dict[tuple[str, str], Any] = {}
+        # dynamic request batching (serve_batching.py): group concurrent
+        # /v1/generate requests with matching params into one batched decode
+        self.max_batch = max_batch
+        self.batch_window_ms = batch_window_ms
+        self._batchers: dict[str, Any] = {}
         self.defaults = {
             "classify": "distilbert-sentiment",
             "embed": "minilm-l6-v2",
@@ -79,6 +85,18 @@ class _Engine:
             self._cache[key] = obj
         return obj
 
+    def _batcher(self, gen):
+        """One DynamicBatcher per loaded generator model."""
+        from .serve_batching import DynamicBatcher
+        with self._lock:
+            b = self._batchers.get(gen.model_id)
+            if b is None:
+                b = DynamicBatcher(gen.generate_batch,
+                                   max_batch=self.max_batch,
+                                   max_wait_ms=self.batch_window_ms)
+                self._batchers[gen.model_id] = b
+        return b
+
     # ------------------------------------------------------------------
 
     def handle(self, path: str, body: dict) -> dict:
@@ -120,7 +138,12 @@ class _Engine:
                     kw[k] = body[k]
             if "prompts" in body:
                 return {"texts": gen.generate_batch(body["prompts"], **kw)}
+            if self.max_batch > 1:
+                return {"text": self._batcher(gen).submit(body["prompt"], **kw)}
             return {"text": gen.generate(body["prompt"], **kw)}
+        if path == "/v1/batch_stats":
+            return {"batch_sizes": {m: list(b.batch_sizes)
+                                    for m, b in self._batchers.items()}}
         if path == "/v1/chat":
             # per-session conversation state: {"session": "abc"} isolates users
             session = body.get("session", "default")
@@ -199,18 +222,45 @@ def make_handler(engine: _Engine):
 
 
 def serve(host: str = "127.0.0.1", port: int = 8000,
-          default_models: dict[str, str] | None = None) -> ThreadingHTTPServer:
-    engine = _Engine(default_models)
+          default_models: dict[str, str] | None = None,
+          max_batch: int = 1,
+          batch_window_ms: float = 10.0) -> ThreadingHTTPServer:
+    engine = _Engine(default_models, max_batch=max_batch,
+                     batch_window_ms=batch_window_ms)
     server = ThreadingHTTPServer((host, port), make_handler(engine))
     return server
+
+
+def parse_model_overrides(pairs: list[str]) -> dict[str, str]:
+    """Parse repeated KIND=NAME_OR_PATH --models flags."""
+    out = {}
+    for pair in pairs:
+        kind, sep, name = pair.partition("=")
+        if not sep or not kind or not name:
+            raise SystemExit(
+                f"--models expects KIND=NAME_OR_PATH, got '{pair}'")
+        out[kind] = name
+    return out
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="kjarni HTTP server")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-batch", type=int, default=1,
+                    help="group up to N concurrent /v1/generate requests "
+                         "into one batched decode (1 = off)")
+    ap.add_argument("--batch-window-ms", type=float, default=10.0,
+                    help="how long to wait for co-batchable requests")
+    ap.add_argument("--models", action="append", default=[],
+                    metavar="KIND=NAME_OR_PATH",
+                    help="override the model for a task kind, e.g. "
+                         "--models generate=/path/to/model (repeatable)")
     args = ap.parse_args(argv)
-    server = serve(args.host, args.port)
+    server = serve(args.host, args.port,
+                   default_models=parse_model_overrides(args.models),
+                   max_batch=args.max_batch,
+                   batch_window_ms=args.batch_window_ms)
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

@@ -1,0 +1,130 @@
+"""Dynamic request batching for the HTTP server.
+
+The reference is an embeddable library and leaves batching to the host app;
+a TPU engine serves many clients from one chip, where decode is weight-
+bandwidth-bound — B concurrent sequences decode at nearly the cost of one
+(see DecoderLM.generate_batch). This scheduler closes that gap at the server
+boundary: requests that arrive within a short window and share generation
+parameters are grouped into one left-padded `generate_batch` call.
+
+This is request-level (admission-time) batching. Token-level continuous
+batching (joining a running decode mid-flight, vLLM-style) is listed in
+ROADMAP.md — it needs a slot-based persistent cache and per-slot state.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, Optional
+
+
+class _Request:
+    __slots__ = ("prompt", "key", "kwargs", "done", "result", "error")
+
+    def __init__(self, prompt: str, key: tuple, kwargs: dict):
+        self.prompt = prompt
+        self.key = key
+        self.kwargs = kwargs
+        self.done = threading.Event()
+        self.result: Optional[str] = None
+        self.error: Optional[BaseException] = None
+
+
+class DynamicBatcher:
+    """Groups concurrent generate requests into batched decode calls.
+
+    run_batch: callable(prompts, **kwargs) -> list[str]. Requests are only
+    grouped when their kwargs match (same sampling parameters); mismatched
+    requests run in their own batch.
+    """
+
+    def __init__(self, run_batch: Callable[..., list[str]], *,
+                 max_batch: int = 8, max_wait_ms: float = 10.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._cv = threading.Condition()
+        self._pending: list[_Request] = []
+        self._stopped = False
+        self.batch_sizes: list[int] = []  # observability: size of each batch run
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="kjarni-batcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _key(kwargs: dict) -> tuple:
+        return tuple(sorted((k, repr(v)) for k, v in kwargs.items()))
+
+    def submit(self, prompt: str, **kwargs: Any) -> str:
+        """Enqueue one prompt and block until its generation is done."""
+        req = _Request(prompt, self._key(kwargs), kwargs)
+        with self._cv:
+            if self._stopped:
+                raise RuntimeError("batcher is shut down")
+            self._pending.append(req)
+            self._cv.notify_all()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result  # type: ignore[return-value]
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+
+    def _take_matching(self, key: tuple, limit: int) -> list[_Request]:
+        taken = []
+        rest = []
+        for r in self._pending:
+            if r.key == key and len(taken) < limit:
+                taken.append(r)
+            else:
+                rest.append(r)
+        self._pending = rest
+        return taken
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._stopped:
+                    self._cv.wait()
+                if not self._pending and self._stopped:
+                    return
+                first = self._pending.pop(0)
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1000.0
+            while len(batch) < self.max_batch:
+                with self._cv:
+                    batch.extend(self._take_matching(
+                        first.key, self.max_batch - len(batch)))
+                    if len(batch) >= self.max_batch:
+                        break
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+            self.batch_sizes.append(len(batch))
+            try:
+                outs = self._run_batch([r.prompt for r in batch],
+                                       **first.kwargs)
+                if len(outs) != len(batch):
+                    raise RuntimeError(
+                        f"run_batch returned {len(outs)} results for "
+                        f"{len(batch)} prompts")
+                for r, out in zip(batch, outs):
+                    r.result = out
+            except BaseException as e:  # noqa: BLE001 — deliver to waiters
+                for r in batch:
+                    r.error = e
+            finally:
+                for r in batch:
+                    r.done.set()

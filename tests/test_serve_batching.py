@@ -1,0 +1,162 @@
+"""Dynamic request batching (serve_batching.py): grouping, param isolation,
+error propagation, and the HTTP /v1/generate path under concurrency."""
+
+import threading
+import time
+
+import pytest
+
+from kjarni_tpu.serve_batching import DynamicBatcher
+
+
+class TestDynamicBatcher:
+    def test_groups_concurrent_requests(self):
+        calls = []
+
+        def run_batch(prompts, **kw):
+            calls.append(list(prompts))
+            time.sleep(0.02)  # hold the worker so later submits pile up
+            return [p.upper() for p in prompts]
+
+        b = DynamicBatcher(run_batch, max_batch=4, max_wait_ms=100)
+        results = {}
+        barrier = threading.Barrier(6)
+
+        def client(i):
+            barrier.wait()
+            results[i] = b.submit(f"p{i}")
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        b.shutdown()
+        assert results == {i: f"P{i}" for i in range(6)}
+        assert sum(len(c) for c in calls) == 6
+        assert max(len(c) for c in calls) > 1   # actually batched
+        assert max(len(c) for c in calls) <= 4  # respects max_batch
+
+    def test_different_params_not_mixed(self):
+        calls = []
+
+        def run_batch(prompts, **kw):
+            calls.append((list(prompts), dict(kw)))
+            time.sleep(0.02)
+            return [f"{p}:{kw.get('max_new_tokens')}" for p in prompts]
+
+        b = DynamicBatcher(run_batch, max_batch=8, max_wait_ms=100)
+        results = {}
+        barrier = threading.Barrier(4)
+
+        def client(i, n):
+            barrier.wait()
+            results[i] = b.submit(f"p{i}", max_new_tokens=n)
+
+        threads = [threading.Thread(target=client, args=(i, 5 if i % 2 else 9))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        b.shutdown()
+        for i in range(4):
+            assert results[i] == f"p{i}:{5 if i % 2 else 9}"
+        for prompts, kw in calls:
+            ns = {results[int(p[1:])].split(":")[1] for p in prompts}
+            assert len(ns) == 1  # one param set per batch
+
+    def test_error_propagates_to_all_waiters(self):
+        def run_batch(prompts, **kw):
+            raise ValueError("model exploded")
+
+        b = DynamicBatcher(run_batch, max_batch=4, max_wait_ms=10)
+        with pytest.raises(ValueError, match="model exploded"):
+            b.submit("hello")
+        b.shutdown()
+
+    def test_single_request_no_waiting_forever(self):
+        b = DynamicBatcher(lambda ps, **kw: [p + "!" for p in ps],
+                           max_batch=8, max_wait_ms=5)
+        assert b.submit("solo") == "solo!"
+        b.shutdown()
+
+    def test_wrong_result_count_raises(self):
+        b = DynamicBatcher(lambda ps, **kw: [], max_batch=2, max_wait_ms=5)
+        with pytest.raises(RuntimeError, match="returned 0 results"):
+            b.submit("a")
+        b.shutdown()
+
+    def test_submit_after_shutdown_rejected(self):
+        b = DynamicBatcher(lambda ps, **kw: list(ps), max_batch=2,
+                           max_wait_ms=5)
+        b.shutdown()
+        with pytest.raises(RuntimeError, match="shut down"):
+            b.submit("late")
+
+
+class TestServeWithBatching:
+    def test_concurrent_generate_requests_batched(self, tmp_path):
+        import json
+        import urllib.request
+        import torch
+        from http.server import ThreadingHTTPServer
+        from helpers import build_word_tokenizer, save_torch_model
+        from transformers import LlamaConfig, LlamaForCausalLM
+        from kjarni_tpu.serve import _Engine, make_handler
+
+        d = tmp_path / "lm"
+        d.mkdir()
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = LlamaConfig(vocab_size=len(vm), hidden_size=32,
+                             intermediate_size=64, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=2,
+                             max_position_embeddings=64, bos_token_id=2,
+                             eos_token_id=3, tie_word_embeddings=False)
+        torch.manual_seed(17)
+        save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+
+        engine = _Engine({"generate": str(d)}, max_batch=4,
+                         batch_window_ms=300)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_port}"
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+
+        # warm the model (first request compiles) so the timed window is fair
+        code, single = post("/v1/generate",
+                            {"prompt": "hello world", "max_new_tokens": 4,
+                             "preset": "greedy"})
+        assert code == 200
+
+        results = {}
+        barrier = threading.Barrier(3)
+
+        def client(i):
+            barrier.wait()
+            code, out = post("/v1/generate",
+                             {"prompt": "hello world", "max_new_tokens": 4,
+                              "preset": "greedy"})
+            results[i] = (code, out["text"])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(3)]
+        try:
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert all(code == 200 for code, _ in results.values())
+            # greedy: batched output equals the unbatched warmup output
+            assert {text for _, text in results.values()} == {single["text"]}
+            code, stats = post("/v1/batch_stats", {})
+            sizes = sum(stats["batch_sizes"].values(), [])
+            assert sizes and max(sizes) > 1  # requests actually co-batched
+        finally:
+            srv.shutdown()
