@@ -30,6 +30,13 @@ from . import registry
 from .core.errors import KjarniError
 
 
+class KjarniHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for request bursts
+    (the stdlib default of 5 drops connections under concurrent load)."""
+    request_queue_size = 128
+    daemon_threads = True
+
+
 class _Engine:
     """Lazy per-model task cache shared by all request threads."""
 
@@ -43,6 +50,10 @@ class _Engine:
         self.max_batch = max_batch
         self.batch_window_ms = batch_window_ms
         self._batchers: dict[str, Any] = {}
+        # DecoderLM mutates shared state across a generation (reused KV cache,
+        # session prefix) — one generation per underlying model at a time.
+        # Keyed by id(lm) so chat sessions sharing a DecoderLM share the lock.
+        self._model_locks: dict[int, threading.Lock] = {}
         self.defaults = {
             "classify": "distilbert-sentiment",
             "embed": "minilm-l6-v2",
@@ -85,13 +96,26 @@ class _Engine:
             self._cache[key] = obj
         return obj
 
+    def _lm_lock(self, lm) -> threading.Lock:
+        with self._lock:
+            lock = self._model_locks.get(id(lm))
+            if lock is None:
+                lock = self._model_locks[id(lm)] = threading.Lock()
+        return lock
+
     def _batcher(self, gen):
         """One DynamicBatcher per loaded generator model."""
         from .serve_batching import DynamicBatcher
+        lock = self._lm_lock(gen._lm)
+
+        def run_locked(prompts, **kw):
+            with lock:
+                return gen.generate_batch(prompts, **kw)
+
         with self._lock:
             b = self._batchers.get(gen.model_id)
             if b is None:
-                b = DynamicBatcher(gen.generate_batch,
+                b = DynamicBatcher(run_locked,
                                    max_batch=self.max_batch,
                                    max_wait_ms=self.batch_window_ms)
                 self._batchers[gen.model_id] = b
@@ -137,10 +161,12 @@ class _Engine:
                 if k in body:
                     kw[k] = body[k]
             if "prompts" in body:
-                return {"texts": gen.generate_batch(body["prompts"], **kw)}
+                with self._lm_lock(gen._lm):
+                    return {"texts": gen.generate_batch(body["prompts"], **kw)}
             if self.max_batch > 1:
                 return {"text": self._batcher(gen).submit(body["prompt"], **kw)}
-            return {"text": gen.generate(body["prompt"], **kw)}
+            with self._lm_lock(gen._lm):
+                return {"text": gen.generate(body["prompt"], **kw)}
         if path == "/v1/batch_stats":
             return {"batch_sizes": {m: list(b.batch_sizes)
                                     for m, b in self._batchers.items()}}
@@ -169,8 +195,9 @@ class _Engine:
                     self._cache[key] = chat
             if body.get("reset"):
                 chat.clear_history(keep_system=True)
-            return {"reply": chat.send(body["message"]),
-                    "session": session}
+            with self._lm_lock(chat._lm):
+                return {"reply": chat.send(body["message"]),
+                        "session": session}
         if path == "/v1/search":
             s = self.get("search", model)
             results = s.search(body["index"], body["query"],
@@ -227,7 +254,7 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
           batch_window_ms: float = 10.0) -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
                      batch_window_ms=batch_window_ms)
-    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    server = KjarniHTTPServer((host, port), make_handler(engine))
     return server
 
 

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Serving load test: measures /v1/generate throughput with and without
+dynamic request batching (serve_batching.py).
+
+Usage: python scripts/serve_load_test.py [--model DIR] [--requests 16]
+Starts two in-process servers (max_batch=1 and max_batch=8), fires N
+concurrent identical greedy requests at each, and reports wall-clock + the
+observed batch sizes.
+"""
+
+import argparse
+import json
+import threading
+import time
+import urllib.request
+
+from kjarni_tpu.serve import _Engine, KjarniHTTPServer, make_handler
+
+
+def post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def run(model_dir: str, n_requests: int, max_batch: int,
+        window_ms: float) -> dict:
+    engine = _Engine({"generate": model_dir}, max_batch=max_batch,
+                     batch_window_ms=window_ms)
+    srv = KjarniHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    body = {"prompt": "hello world the doctor went", "max_new_tokens": 16,
+            "preset": "greedy"}
+    post(base, "/v1/generate", body)  # warm / compile
+
+    texts = [None] * n_requests
+
+    def burst():
+        barrier = threading.Barrier(n_requests + 1)
+
+        def client(i):
+            barrier.wait()
+            texts[i] = post(base, "/v1/generate", body)["text"]
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_requests)]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        return time.perf_counter() - t0
+
+    burst()          # warm the batch-size buckets (compiles)
+    wall = burst()   # timed
+    stats = post(base, "/v1/batch_stats", {}) if max_batch > 1 else {}
+    srv.shutdown()
+    assert len(set(texts)) == 1, "greedy outputs diverged across requests"
+    return {"max_batch": max_batch, "requests": n_requests,
+            "wall_s": round(wall, 3),
+            "req_per_sec": round(n_requests / wall, 2),
+            "batch_sizes": stats.get("batch_sizes", {})}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True, help="local model dir")
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--window-ms", type=float, default=100.0)
+    args = ap.parse_args()
+    for mb in (1, 8):
+        print(json.dumps(run(args.model, args.requests, mb, args.window_ms)))
+
+
+if __name__ == "__main__":
+    main()

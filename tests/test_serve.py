@@ -116,3 +116,16 @@ class TestServeGenerate:
             assert code == 200
         finally:
             srv.shutdown()
+
+
+class TestModelOverridesFlag:
+    def test_parse_model_overrides(self):
+        from kjarni_tpu.serve import parse_model_overrides
+        assert parse_model_overrides([]) == {}
+        assert parse_model_overrides(["generate=/x/y", "chat=qwen"]) == {
+            "generate": "/x/y", "chat": "qwen"}
+        # value may itself contain '=' (e.g. odd paths) — split on first only
+        assert parse_model_overrides(["a=b=c"]) == {"a": "b=c"}
+        for bad in ("nopair", "=x", "k="):
+            with pytest.raises(SystemExit):
+                parse_model_overrides([bad])
