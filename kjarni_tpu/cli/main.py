@@ -301,7 +301,8 @@ def cmd_serve(args) -> int:
     server = make_server(args.host, args.port,
                          default_models=parse_model_overrides(args.models),
                          max_batch=args.max_batch,
-                         batch_window_ms=args.batch_window_ms)
+                         batch_window_ms=args.batch_window_ms,
+                         scheduler=args.scheduler)
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()
@@ -444,6 +445,10 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="KIND=NAME_OR_PATH",
                     help="override the model for a task kind, e.g. "
                          "--models generate=/path/to/model (repeatable)")
+    sp.add_argument("--scheduler", choices=["batch", "continuous"],
+                    default="batch",
+                    help="'continuous' joins greedy generate requests into a "
+                         "running slot-based decode (token-level batching)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("search", help="search an index")

@@ -1,0 +1,217 @@
+"""Token-level continuous batching: a slot-based decode engine.
+
+Goes beyond the reference (which is per-request; kjarni/src/generation drives
+one sequence at a time): requests join and leave a running decode mid-flight,
+vLLM-style. TPU-native design constraints shape the layout:
+
+  * static shapes — a fixed number of slots S, each with a fixed-length cache;
+  * per-slot caches stacked on a leading slot axis [S, L, 1, Hkv, T, D], so
+    one `jax.vmap` of the B=1 forward decodes ALL active slots in a single
+    XLA dispatch even though every slot sits at a different position;
+  * prefill writes into a dynamic slot index (dynamic_update_index_in_dim),
+    jitted once per prompt-length bucket;
+  * inactive slots still compute (masked on the host) — lockstep SPMD is
+    cheaper than ragged dispatch because decode is weight-bandwidth-bound.
+
+v1 supports greedy decoding (temperature==0), which is what batched serving
+overwhelmingly runs; sampled slots fall back to DecoderLM.generate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.bucketing import seq_bucket
+from ..core.errors import GenerationError
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int = -1
+    active: bool = False
+    pos: int = 0                 # cache write frontier (== tokens in cache)
+    remaining: int = 0           # max_new_tokens budget left
+    generated: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class FinishedRequest:
+    request_id: int
+    token_ids: list
+    text: str
+    finish_reason: str           # "eos" | "length"
+
+
+class ContinuousEngine:
+    """Slot-based continuous-batching engine over a DecoderLM (llama family).
+
+    Usage:
+        eng = ContinuousEngine(lm, slots=8)
+        rid = eng.submit("prompt", max_new_tokens=64)   # joins mid-decode
+        eng.step()                                      # one token, all slots
+        done = eng.drain()                              # finished requests
+    """
+
+    def __init__(self, lm, slots: int = 8, max_context: Optional[int] = None):
+        from ..models import llama as kllama
+        if lm.family is not kllama:
+            raise GenerationError(
+                "continuous batching currently supports the llama decoder "
+                "family (llama/qwen2/mistral/phi3)")
+        self.lm = lm
+        self.kllama = kllama
+        self.cfg = lm.config
+        self.S = slots
+        self.T = max_context or lm.max_context
+        dt = lm.params["layers"]["q"]["w"].dtype if isinstance(
+            lm.params["layers"]["q"], dict) else lm.params["layers"]["q"].dtype
+        if dt == jnp.int8:
+            dt = jnp.bfloat16
+        shape = (slots, self.cfg.num_layers, 1, self.cfg.num_kv_heads,
+                 self.T, self.cfg.head_dim)
+        self.cache_k = jnp.zeros(shape, dt)
+        self.cache_v = jnp.zeros(shape, dt)
+        self._slots = [_Slot() for _ in range(slots)]
+        self._last_tok = np.zeros(slots, np.int32)
+        self._next_id = 0
+        self._queue: list[tuple[int, list, int]] = []   # waiting requests
+        self._finished: list[FinishedRequest] = []
+        self._prefill_cache: dict[int, any] = {}
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        cfg = self.cfg
+        fwd = self.kllama.forward
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def step(params, toks, ck, cv, pos):
+            # vmap the B=1 forward over the slot axis: each slot attends its
+            # own cache at its own frontier; one dispatch for all slots
+            def one(tok, ck1, cv1, p):
+                logits, ck1, cv1 = fwd(params, cfg, tok[None, None], ck1, cv1, p)
+                return jnp.argmax(logits[0]).astype(jnp.int32), ck1, cv1
+            return jax.vmap(one, in_axes=(0, 0, 0, 0))(toks, ck, cv, pos)
+
+        return step
+
+    def _prefill_fn(self, bucket: int):
+        fn = self._prefill_cache.get(bucket)
+        if fn is not None:
+            return fn
+        cfg = self.cfg
+        fwd = self.kllama.forward
+
+        @partial(jax.jit, donate_argnums=(2, 3))
+        def prefill(params, ids, ck, cv, slot, last_idx):
+            ck1 = jax.lax.dynamic_index_in_dim(ck, slot, 0, keepdims=False)
+            cv1 = jax.lax.dynamic_index_in_dim(cv, slot, 0, keepdims=False)
+            logits, ck1, cv1 = fwd(params, cfg, ids[None, :], ck1, cv1,
+                                   jnp.int32(0), last_idx=last_idx)
+            ck = jax.lax.dynamic_update_index_in_dim(ck, ck1, slot, 0)
+            cv = jax.lax.dynamic_update_index_in_dim(cv, cv1, slot, 0)
+            return jnp.argmax(logits[0]).astype(jnp.int32), ck, cv
+
+        self._prefill_cache[bucket] = prefill
+        return prefill
+
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt: str, max_new_tokens: int = 128) -> int:
+        """Queue a request; it joins the running batch at the next step."""
+        ids = self.lm.encode_prompt(prompt, add_bos=True)
+        if len(ids) + max_new_tokens > self.T:
+            raise GenerationError(
+                f"prompt ({len(ids)} tokens) + max_new_tokens "
+                f"({max_new_tokens}) exceeds slot capacity {self.T}")
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, ids, max_new_tokens))
+        self._admit()
+        return rid
+
+    def _admit(self) -> None:
+        """Prefill queued requests into free slots."""
+        for slot_idx, slot in enumerate(self._slots):
+            if not self._queue:
+                return
+            if slot.active:
+                continue
+            rid, ids, max_new = self._queue.pop(0)
+            bucket = seq_bucket(len(ids))
+            arr = np.zeros(bucket, np.int32)
+            arr[:len(ids)] = ids               # right-pad; garbage slots are
+            # never attended: queries stop at last_idx, later writes overwrite
+            tok, self.cache_k, self.cache_v = self._prefill_fn(bucket)(
+                self.lm.params, jnp.asarray(arr), self.cache_k, self.cache_v,
+                jnp.int32(slot_idx), jnp.int32(len(ids) - 1))
+            slot.request_id = rid
+            slot.active = True
+            slot.pos = len(ids)
+            slot.remaining = max_new
+            slot.generated = []
+            self._last_tok[slot_idx] = int(tok)
+            self._note_token(slot_idx, int(tok))
+
+    def _note_token(self, slot_idx: int, tok: int) -> None:
+        slot = self._slots[slot_idx]
+        if tok in self.lm.stop_token_ids:
+            self._finish(slot_idx, "eos")
+            return
+        slot.generated.append(tok)
+        slot.remaining -= 1
+        if slot.remaining <= 0:
+            self._finish(slot_idx, "length")
+
+    def _finish(self, slot_idx: int, reason: str) -> None:
+        slot = self._slots[slot_idx]
+        self._finished.append(FinishedRequest(
+            request_id=slot.request_id,
+            token_ids=list(slot.generated),
+            text=self.lm.tokenizer.decode(slot.generated),
+            finish_reason=reason))
+        slot.active = False
+
+    # ------------------------------------------------------------------
+
+    @property
+    def num_active(self) -> int:
+        return sum(s.active for s in self._slots)
+
+    @property
+    def num_waiting(self) -> int:
+        return len(self._queue)
+
+    def step(self) -> None:
+        """Decode one token for every active slot (single XLA dispatch)."""
+        self._admit()   # freed slots pick up waiting requests first
+        if self.num_active == 0:
+            return
+        pos = np.array([s.pos for s in self._slots], np.int32)
+        toks, self.cache_k, self.cache_v = self._step_fn(
+            self.lm.params, jnp.asarray(self._last_tok), self.cache_k,
+            self.cache_v, jnp.asarray(pos))
+        toks = np.asarray(toks)
+        for i, slot in enumerate(self._slots):
+            if not slot.active:
+                continue
+            slot.pos += 1
+            self._last_tok[i] = int(toks[i])
+            self._note_token(i, int(toks[i]))
+
+    def drain(self) -> list[FinishedRequest]:
+        out, self._finished = self._finished, []
+        return out
+
+    def run(self) -> list[FinishedRequest]:
+        """Step until every submitted request has finished."""
+        while self.num_active or self.num_waiting:
+            self.step()
+        return self.drain()

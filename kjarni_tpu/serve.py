@@ -42,7 +42,11 @@ class _Engine:
 
     def __init__(self, default_models: dict[str, str] | None = None,
                  quiet: bool = True, max_batch: int = 1,
-                 batch_window_ms: float = 10.0):
+                 batch_window_ms: float = 10.0, scheduler: str = "batch"):
+        if scheduler not in ("batch", "continuous"):
+            raise KjarniError(f"unknown scheduler '{scheduler}' "
+                              f"(expected 'batch' or 'continuous')")
+        self.scheduler = scheduler
         self._lock = threading.Lock()
         self._cache: dict[tuple[str, str], Any] = {}
         # dynamic request batching (serve_batching.py): group concurrent
@@ -50,6 +54,7 @@ class _Engine:
         self.max_batch = max_batch
         self.batch_window_ms = batch_window_ms
         self._batchers: dict[str, Any] = {}
+        self._continuous_runners: dict[str, Any] = {}
         # DecoderLM mutates shared state across a generation (reused KV cache,
         # session prefix) — one generation per underlying model at a time.
         # Keyed by id(lm) so chat sessions sharing a DecoderLM share the lock.
@@ -102,6 +107,17 @@ class _Engine:
             if lock is None:
                 lock = self._model_locks[id(lm)] = threading.Lock()
         return lock
+
+    def _continuous(self, gen):
+        """One ContinuousRunner per loaded generator model."""
+        from .serve_batching import ContinuousRunner
+        with self._lock:
+            r = self._continuous_runners.get(gen.model_id)
+            if r is None:
+                slots = self.max_batch if self.max_batch > 1 else 8
+                r = ContinuousRunner(gen._lm, slots=slots)
+                self._continuous_runners[gen.model_id] = r
+        return r
 
     def _batcher(self, gen):
         """One DynamicBatcher per loaded generator model."""
@@ -163,6 +179,12 @@ class _Engine:
             if "prompts" in body:
                 with self._lm_lock(gen._lm):
                     return {"texts": gen.generate_batch(body["prompts"], **kw)}
+            if (self.scheduler == "continuous"
+                    and kw.get("preset") in (None, "greedy")):
+                runner = self._continuous(gen)
+                return {"text": runner.submit(
+                    body["prompt"],
+                    max_new_tokens=kw.get("max_new_tokens", 128))}
             if self.max_batch > 1:
                 return {"text": self._batcher(gen).submit(body["prompt"], **kw)}
             with self._lm_lock(gen._lm):
@@ -251,9 +273,10 @@ def make_handler(engine: _Engine):
 def serve(host: str = "127.0.0.1", port: int = 8000,
           default_models: dict[str, str] | None = None,
           max_batch: int = 1,
-          batch_window_ms: float = 10.0) -> ThreadingHTTPServer:
+          batch_window_ms: float = 10.0,
+          scheduler: str = "batch") -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
-                     batch_window_ms=batch_window_ms)
+                     batch_window_ms=batch_window_ms, scheduler=scheduler)
     server = KjarniHTTPServer((host, port), make_handler(engine))
     return server
 
@@ -283,11 +306,16 @@ def main(argv=None) -> int:
                     metavar="KIND=NAME_OR_PATH",
                     help="override the model for a task kind, e.g. "
                          "--models generate=/path/to/model (repeatable)")
+    ap.add_argument("--scheduler", choices=["batch", "continuous"],
+                    default="batch",
+                    help="'continuous' joins greedy generate requests into a "
+                         "running slot-based decode (token-level batching)")
     args = ap.parse_args(argv)
     server = serve(args.host, args.port,
                    default_models=parse_model_overrides(args.models),
                    max_batch=args.max_batch,
-                   batch_window_ms=args.batch_window_ms)
+                   batch_window_ms=args.batch_window_ms,
+                   scheduler=args.scheduler)
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

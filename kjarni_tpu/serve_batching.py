@@ -7,9 +7,12 @@ bandwidth-bound — B concurrent sequences decode at nearly the cost of one
 boundary: requests that arrive within a short window and share generation
 parameters are grouped into one left-padded `generate_batch` call.
 
-This is request-level (admission-time) batching. Token-level continuous
-batching (joining a running decode mid-flight, vLLM-style) is listed in
-ROADMAP.md — it needs a slot-based persistent cache and per-slot state.
+Two schedulers:
+  * DynamicBatcher — request-level (admission-time) batching: requests that
+    arrive within a window and share params run as one `generate_batch` call;
+  * ContinuousRunner — token-level continuous batching over the slot engine
+    in generate/continuous.py: requests join a RUNNING decode mid-flight
+    (vLLM-style); greedy-only.
 """
 
 from __future__ import annotations
@@ -128,3 +131,68 @@ class DynamicBatcher:
             finally:
                 for r in batch:
                     r.done.set()
+
+
+class ContinuousRunner:
+    """Thread-safe front-end for ContinuousEngine (generate/continuous.py).
+
+    The engine itself is single-threaded (slot state + donated caches); this
+    runner owns it on a worker thread: server threads enqueue prompts, the
+    worker admits them into the running decode (mid-flight joins) and delivers
+    results. Greedy-only, like the engine.
+    """
+
+    def __init__(self, lm, *, slots: int = 8):
+        from .generate.continuous import ContinuousEngine
+        self._engine = ContinuousEngine(lm, slots=slots)
+        self._cv = threading.Condition()
+        self._incoming: list[_Request] = []
+        self._by_rid: dict[int, _Request] = {}
+        self._stopped = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="kjarni-continuous")
+        self._thread.start()
+
+    def submit(self, prompt: str, max_new_tokens: int = 128,
+               **_ignored: Any) -> str:
+        req = _Request(prompt, (), {"max_new_tokens": max_new_tokens})
+        with self._cv:
+            if self._stopped:
+                raise RuntimeError("runner is shut down")
+            self._incoming.append(req)
+            self._cv.notify_all()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result  # type: ignore[return-value]
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        eng = self._engine
+        while True:
+            with self._cv:
+                while (not self._incoming and not eng.num_active
+                       and not eng.num_waiting):
+                    if self._stopped:
+                        return
+                    self._cv.wait()
+                incoming, self._incoming = self._incoming, []
+            for req in incoming:
+                try:
+                    rid = eng.submit(req.prompt,
+                                     max_new_tokens=req.kwargs["max_new_tokens"])
+                    self._by_rid[rid] = req
+                except BaseException as e:  # noqa: BLE001
+                    req.error = e
+                    req.done.set()
+            eng.step()
+            for fr in eng.drain():
+                req = self._by_rid.pop(fr.request_id, None)
+                if req is not None:
+                    req.result = fr.text
+                    req.done.set()

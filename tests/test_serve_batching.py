@@ -160,3 +160,74 @@ class TestServeWithBatching:
             assert sizes and max(sizes) > 1  # requests actually co-batched
         finally:
             srv.shutdown()
+
+
+class TestServeContinuous:
+    def test_continuous_scheduler_matches_batch_output(self, tmp_path):
+        import json
+        import urllib.request
+        import torch
+        from helpers import build_word_tokenizer, save_torch_model
+        from transformers import LlamaConfig, LlamaForCausalLM
+        from kjarni_tpu.serve import _Engine, KjarniHTTPServer, make_handler
+
+        d = tmp_path / "lm"
+        d.mkdir()
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = LlamaConfig(vocab_size=len(vm), hidden_size=32,
+                             intermediate_size=64, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=2,
+                             max_position_embeddings=64, bos_token_id=2,
+                             eos_token_id=3, tie_word_embeddings=False)
+        torch.manual_seed(23)
+        save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+
+        def post(base, payload):
+            req = urllib.request.Request(
+                base + "/v1/generate", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        def start(scheduler):
+            engine = _Engine({"generate": str(d)}, max_batch=4,
+                             scheduler=scheduler)
+            srv = KjarniHTTPServer(("127.0.0.1", 0), make_handler(engine))
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            return srv, f"http://127.0.0.1:{srv.server_port}"
+
+        body = {"prompt": "hello world", "max_new_tokens": 6,
+                "preset": "greedy"}
+        srv_b, base_b = start("batch")
+        expected = post(base_b, body)["text"]
+        srv_b.shutdown()
+
+        srv_c, base_c = start("continuous")
+        try:
+            # concurrent requests join the slot engine mid-flight
+            results = {}
+            barrier = threading.Barrier(3)
+
+            def client(i):
+                barrier.wait()
+                results[i] = post(base_c, body)["text"]
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert set(results.values()) == {expected}
+            # non-greedy presets fall back to the regular path (still 200)
+            out = post(base_c, {"prompt": "hello", "max_new_tokens": 3,
+                                "preset": "creative"})
+            assert "text" in out
+        finally:
+            srv_c.shutdown()
+
+    def test_unknown_scheduler_rejected(self):
+        from kjarni_tpu.core.errors import KjarniError
+        from kjarni_tpu.serve import _Engine
+        with pytest.raises(KjarniError, match="unknown scheduler"):
+            _Engine({}, scheduler="vllm")
