@@ -191,7 +191,10 @@ class _Engine:
                 return {"text": gen.generate(body["prompt"], **kw)}
         if path == "/v1/batch_stats":
             return {"batch_sizes": {m: list(b.batch_sizes)
-                                    for m, b in self._batchers.items()}}
+                                    for m, b in self._batchers.items()},
+                    "continuous": {m: {"active": r._engine.num_active,
+                                       "waiting": r._engine.num_waiting}
+                                   for m, r in self._continuous_runners.items()}}
         if path == "/v1/chat":
             # per-session conversation state: {"session": "abc"} isolates users
             session = body.get("session", "default")
