@@ -297,3 +297,45 @@ class TestIndexerSearcherTasks:
         idx.add(tmp_path / "i", [docs / "b.txt"])
         r = IndexReader.open(tmp_path / "i")
         assert len(r) == 2
+
+
+class TestIndexerProgressAndCancellation:
+    def test_progress_callbacks_fire_in_stage_order(self, tmp_path):
+        from helpers import tiny_bert_dir
+        from kjarni_tpu.tasks.indexer import Indexer
+        from kjarni_tpu.rag.progress import Progress, ProgressStage
+        model_dir = tmp_path / "model"
+        tiny_bert_dir(model_dir, seed=9)
+        docs = tmp_path / "docs"
+        docs.mkdir()
+        (docs / "a.txt").write_text("keeping data safe is a good service")
+
+        seen: list[Progress] = []
+        Indexer(str(model_dir), quiet=True).create(
+            tmp_path / "idx", [docs], progress=seen.append)
+        stages = [p.stage for p in seen]
+        assert stages[0] == ProgressStage.SCANNING
+        assert ProgressStage.EMBEDDING in stages
+        assert stages[-1] == ProgressStage.COMMITTING
+        assert stages == sorted(stages)  # monotone through the pipeline
+        emb = [p for p in seen if p.stage == ProgressStage.EMBEDDING][-1]
+        assert emb.current == emb.total  # finished all chunks
+
+    def test_cancellation_aborts_before_commit(self, tmp_path):
+        from helpers import tiny_bert_dir
+        from kjarni_tpu.tasks.indexer import Indexer
+        from kjarni_tpu.core.cancellation import CancellationToken
+        from kjarni_tpu.core.errors import CancelledError
+        from kjarni_tpu.rag.index import MANIFEST
+        model_dir = tmp_path / "model"
+        tiny_bert_dir(model_dir, seed=9)
+        docs = tmp_path / "docs"
+        docs.mkdir()
+        (docs / "a.txt").write_text("hello world " * 50)
+
+        tok = CancellationToken()
+        tok.cancel()
+        with pytest.raises(CancelledError):
+            Indexer(str(model_dir), quiet=True).create(
+                tmp_path / "idx2", [docs], cancellation=tok)
+        assert not (tmp_path / "idx2" / MANIFEST).exists()  # nothing committed
