@@ -110,3 +110,41 @@ class TestCliConfigFile:
         assert main(["classify", "great service", "--model", str(good),
                      "--format", "json"]) == 0
         json.loads(capsys.readouterr().out)
+
+
+class TestPlacementHelpers:
+    def test_execution_plan_presets(self):
+        from kjarni_tpu.core.placement import ExecutionPlan
+        from kjarni_tpu.core.errors import InvalidConfigError
+        assert ExecutionPlan.resolve(None) == ExecutionPlan()
+        assert ExecutionPlan.resolve("offload_ends") == ExecutionPlan(
+            embeddings="host", lm_head="host")
+        assert ExecutionPlan.resolve("offload_head").embeddings == "device"
+        p = ExecutionPlan(embeddings="host")
+        assert ExecutionPlan.resolve(p) is p
+        with pytest.raises(InvalidConfigError, match="unknown execution plan"):
+            ExecutionPlan.resolve("gpu_offload_ends")
+
+    def test_host_gather_and_matmul_numerics(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from kjarni_tpu.core.placement import (host_gather, host_matmul,
+                                               to_host_memory)
+        table = to_host_memory(jnp.arange(40.0).reshape(10, 4))
+        ids = jnp.array([[1, 3], [7, 0]], jnp.int32)
+
+        @jax.jit
+        def f(t, i):
+            return host_gather(t, i)
+        np.testing.assert_allclose(
+            np.asarray(f(table, ids)),
+            np.take(np.arange(40.0).reshape(10, 4), np.asarray(ids), axis=0))
+
+        w = to_host_memory(jnp.ones((4, 6)) * 2.0)
+
+        @jax.jit
+        def g(x, w):
+            return host_matmul(x, w)
+        out = np.asarray(g(jnp.ones((3, 4)), w))
+        np.testing.assert_allclose(out, np.full((3, 6), 8.0))
