@@ -447,7 +447,7 @@ def build_parser() -> argparse.ArgumentParser:
                          "--models generate=/path/to/model (repeatable)")
     sp.add_argument("--scheduler", choices=["batch", "continuous"],
                     default="batch",
-                    help="'continuous' joins greedy generate requests into a "
+                    help="'continuous' joins generate requests into a "
                          "running slot-based decode (token-level batching)")
     sp.set_defaults(fn=cmd_serve)
 

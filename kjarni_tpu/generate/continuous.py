@@ -13,8 +13,10 @@ vLLM-style. TPU-native design constraints shape the layout:
   * inactive slots still compute (masked on the host) — lockstep SPMD is
     cheaper than ragged dispatch because decode is weight-bandwidth-bound.
 
-v1 supports greedy decoding (temperature==0), which is what batched serving
-overwhelmingly runs; sampled slots fall back to DecoderLM.generate.
+Each slot carries its own sampling parameters (temperature / top-k / top-p /
+min-p / seed) and its own PRNG key, applied inside the vmap'd step — greedy
+and sampled requests share one dispatch. Top-k uses a dynamic-k mask (rank
+cutoff) because slots differ in k; top-p/min-p thresholds are traced scalars.
 """
 
 from __future__ import annotations
@@ -29,6 +31,30 @@ import numpy as np
 
 from ..core.bucketing import seq_bucket
 from ..core.errors import GenerationError
+from .sampling import NEG_INF, SamplingParams, min_p_filter, top_p_filter
+
+
+def _sample_slot(logits, key, temp, top_k, top_p, min_p):
+    """Per-slot sampling with traced parameters (cf. sampling.py sample_token,
+    but every knob is a runtime scalar so slots can differ inside one vmap).
+    temp <= 0 means greedy."""
+    vocab = logits.shape[-1]
+
+    def greedy(_):
+        return jnp.argmax(logits).astype(jnp.int32)
+
+    def sampled(_):
+        l = logits
+        # dynamic top-k: mask everything below the k-th largest (k<=0 = off)
+        sorted_desc = jnp.sort(l)[::-1]
+        kth = sorted_desc[jnp.clip(top_k - 1, 0, vocab - 1)]
+        l = jnp.where((top_k > 0) & (l < kth), NEG_INF, l)
+        l = top_p_filter(l, top_p)      # top_p=1.0 keeps everything
+        l = min_p_filter(l, min_p)      # min_p=0.0 keeps everything
+        l = l / jnp.maximum(temp, 1e-5)
+        return jax.random.categorical(key, l).astype(jnp.int32)
+
+    return jax.lax.cond(temp <= 0.0, greedy, sampled, None)
 
 
 @dataclasses.dataclass
@@ -79,11 +105,18 @@ class ContinuousEngine:
         self.cache_v = jnp.zeros(shape, dt)
         self._slots = [_Slot() for _ in range(slots)]
         self._last_tok = np.zeros(slots, np.int32)
+        # per-slot sampling state (temp<=0 = greedy); keys advance per step
+        self._temp = np.zeros(slots, np.float32)
+        self._top_k = np.zeros(slots, np.int32)
+        self._top_p = np.ones(slots, np.float32)
+        self._min_p = np.zeros(slots, np.float32)
+        self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(slots)])
         self._next_id = 0
-        self._queue: list[tuple[int, list, int]] = []   # waiting requests
+        self._queue: list[tuple] = []                   # waiting requests
         self._finished: list[FinishedRequest] = []
         self._prefill_cache: dict[int, any] = {}
         self._step_fn = self._build_step()
+        self._sample1 = jax.jit(_sample_slot)
 
     # ------------------------------------------------------------------
 
@@ -92,13 +125,17 @@ class ContinuousEngine:
         fwd = self.kllama.forward
 
         @partial(jax.jit, donate_argnums=(2, 3))
-        def step(params, toks, ck, cv, pos):
+        def step(params, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p):
             # vmap the B=1 forward over the slot axis: each slot attends its
-            # own cache at its own frontier; one dispatch for all slots
-            def one(tok, ck1, cv1, p):
+            # own cache at its own frontier and samples with its own params
+            # and PRNG key; one dispatch for all slots
+            def one(tok, ck1, cv1, p, key, t, tk, tp, mp):
                 logits, ck1, cv1 = fwd(params, cfg, tok[None, None], ck1, cv1, p)
-                return jnp.argmax(logits[0]).astype(jnp.int32), ck1, cv1
-            return jax.vmap(one, in_axes=(0, 0, 0, 0))(toks, ck, cv, pos)
+                key, sub = jax.random.split(key)
+                nxt = _sample_slot(logits[0], sub, t, tk, tp, mp)
+                return nxt, ck1, cv1, key
+            return jax.vmap(one)(toks, ck, cv, pos, keys, temp, top_k,
+                                 top_p, min_p)
 
         return step
 
@@ -117,15 +154,22 @@ class ContinuousEngine:
                                    jnp.int32(0), last_idx=last_idx)
             ck = jax.lax.dynamic_update_index_in_dim(ck, ck1, slot, 0)
             cv = jax.lax.dynamic_update_index_in_dim(cv, cv1, slot, 0)
-            return jnp.argmax(logits[0]).astype(jnp.int32), ck, cv
+            return logits[0], ck, cv
 
         self._prefill_cache[bucket] = prefill
         return prefill
 
     # ------------------------------------------------------------------
 
-    def submit(self, prompt: str, max_new_tokens: int = 128) -> int:
-        """Queue a request; it joins the running batch at the next step."""
+    def submit(self, prompt: str, max_new_tokens: int = 128,
+               sampling: Optional[SamplingParams] = None,
+               seed: Optional[int] = None) -> int:
+        """Queue a request; it joins the running batch at the next step.
+
+        sampling=None (or temperature<=0) decodes greedily; otherwise the
+        slot samples with its own temperature/top_k/top_p/min_p and a PRNG
+        stream derived from `seed` (default: the request id).
+        """
         ids = self.lm.encode_prompt(prompt, add_bos=True)
         if len(ids) + max_new_tokens > self.T:
             raise GenerationError(
@@ -133,7 +177,7 @@ class ContinuousEngine:
                 f"({max_new_tokens}) exceeds slot capacity {self.T}")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, ids, max_new_tokens))
+        self._queue.append((rid, ids, max_new_tokens, sampling, seed))
         self._admit()
         return rid
 
@@ -144,14 +188,27 @@ class ContinuousEngine:
                 return
             if slot.active:
                 continue
-            rid, ids, max_new = self._queue.pop(0)
+            rid, ids, max_new, sampling, seed = self._queue.pop(0)
             bucket = seq_bucket(len(ids))
             arr = np.zeros(bucket, np.int32)
             arr[:len(ids)] = ids               # right-pad; garbage slots are
             # never attended: queries stop at last_idx, later writes overwrite
-            tok, self.cache_k, self.cache_v = self._prefill_fn(bucket)(
+            logits, self.cache_k, self.cache_v = self._prefill_fn(bucket)(
                 self.lm.params, jnp.asarray(arr), self.cache_k, self.cache_v,
                 jnp.int32(slot_idx), jnp.int32(len(ids) - 1))
+            sp = sampling or SamplingParams(temperature=0.0)
+            self._temp[slot_idx] = sp.temperature
+            self._top_k[slot_idx] = sp.top_k or 0
+            self._top_p[slot_idx] = 1.0 if sp.top_p is None else sp.top_p
+            self._min_p[slot_idx] = sp.min_p or 0.0
+            key = jax.random.PRNGKey(rid if seed is None else seed)
+            key, sub = jax.random.split(key)
+            self._keys = self._keys.at[slot_idx].set(key)
+            tok = self._sample1(logits, sub,
+                                jnp.float32(self._temp[slot_idx]),
+                                jnp.int32(self._top_k[slot_idx]),
+                                jnp.float32(self._top_p[slot_idx]),
+                                jnp.float32(self._min_p[slot_idx]))
             slot.request_id = rid
             slot.active = True
             slot.pos = len(ids)
@@ -195,9 +252,11 @@ class ContinuousEngine:
         if self.num_active == 0:
             return
         pos = np.array([s.pos for s in self._slots], np.int32)
-        toks, self.cache_k, self.cache_v = self._step_fn(
+        toks, self.cache_k, self.cache_v, self._keys = self._step_fn(
             self.lm.params, jnp.asarray(self._last_tok), self.cache_k,
-            self.cache_v, jnp.asarray(pos))
+            self.cache_v, jnp.asarray(pos), self._keys,
+            jnp.asarray(self._temp), jnp.asarray(self._top_k),
+            jnp.asarray(self._top_p), jnp.asarray(self._min_p))
         toks = np.asarray(toks)
         for i, slot in enumerate(self._slots):
             if not slot.active:

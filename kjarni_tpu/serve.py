@@ -179,12 +179,17 @@ class _Engine:
             if "prompts" in body:
                 with self._lm_lock(gen._lm):
                     return {"texts": gen.generate_batch(body["prompts"], **kw)}
-            if (self.scheduler == "continuous"
-                    and kw.get("preset") in (None, "greedy")):
-                runner = self._continuous(gen)
-                return {"text": runner.submit(
-                    body["prompt"],
-                    max_new_tokens=kw.get("max_new_tokens", 128))}
+            if self.scheduler == "continuous":
+                from .tasks.generator import PRESETS
+                preset_cfg = PRESETS.get(kw.get("preset") or "greedy")
+                if preset_cfg is not None:
+                    sampling = (None if preset_cfg.strategy == "greedy"
+                                else preset_cfg.sampling)
+                    runner = self._continuous(gen)
+                    return {"text": runner.submit(
+                        body["prompt"],
+                        max_new_tokens=kw.get("max_new_tokens", 128),
+                        sampling=sampling, seed=body.get("seed"))}
             if self.max_batch > 1:
                 return {"text": self._batcher(gen).submit(body["prompt"], **kw)}
             with self._lm_lock(gen._lm):
@@ -311,7 +316,7 @@ def main(argv=None) -> int:
                          "--models generate=/path/to/model (repeatable)")
     ap.add_argument("--scheduler", choices=["batch", "continuous"],
                     default="batch",
-                    help="'continuous' joins greedy generate requests into a "
+                    help="'continuous' joins generate requests into a "
                          "running slot-based decode (token-level batching)")
     args = ap.parse_args(argv)
     server = serve(args.host, args.port,

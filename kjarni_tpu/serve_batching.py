@@ -12,7 +12,7 @@ Two schedulers:
     arrive within a window and share params run as one `generate_batch` call;
   * ContinuousRunner — token-level continuous batching over the slot engine
     in generate/continuous.py: requests join a RUNNING decode mid-flight
-    (vLLM-style); greedy-only.
+    (vLLM-style), each slot with its own sampling params and PRNG stream.
 """
 
 from __future__ import annotations
@@ -139,7 +139,7 @@ class ContinuousRunner:
     The engine itself is single-threaded (slot state + donated caches); this
     runner owns it on a worker thread: server threads enqueue prompts, the
     worker admits them into the running decode (mid-flight joins) and delivers
-    results. Greedy-only, like the engine.
+    results. Per-request sampling params ride along to the slot engine.
     """
 
     def __init__(self, lm, *, slots: int = 8):
@@ -154,8 +154,10 @@ class ContinuousRunner:
         self._thread.start()
 
     def submit(self, prompt: str, max_new_tokens: int = 128,
+               sampling: Any = None, seed: Any = None,
                **_ignored: Any) -> str:
-        req = _Request(prompt, (), {"max_new_tokens": max_new_tokens})
+        req = _Request(prompt, (), {"max_new_tokens": max_new_tokens,
+                                    "sampling": sampling, "seed": seed})
         with self._cv:
             if self._stopped:
                 raise RuntimeError("runner is shut down")
@@ -184,8 +186,7 @@ class ContinuousRunner:
                 incoming, self._incoming = self._incoming, []
             for req in incoming:
                 try:
-                    rid = eng.submit(req.prompt,
-                                     max_new_tokens=req.kwargs["max_new_tokens"])
+                    rid = eng.submit(req.prompt, **req.kwargs)
                     self._by_rid[rid] = req
                 except BaseException as e:  # noqa: BLE001
                     req.error = e

@@ -82,3 +82,41 @@ class TestContinuousEngine:
         eng = ContinuousEngine(lm, slots=2)
         with pytest.raises(GenerationError, match="exceeds slot capacity"):
             eng.submit("hello " * 200, max_new_tokens=64)
+
+
+class TestContinuousSampling:
+    def test_mixed_greedy_and_sampled_slots(self, lm):
+        """Greedy slots keep exact greedy output while sharing the batch with
+        sampled slots; sampled output is valid and reproducible by seed."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        from kjarni_tpu.generate.sampling import SamplingParams
+        sp = SamplingParams(temperature=0.9, top_k=20, top_p=0.95, min_p=0.0)
+
+        def run():
+            eng = ContinuousEngine(lm, slots=3)
+            g = eng.submit(PROMPTS[0], max_new_tokens=8)          # greedy
+            s1 = eng.submit(PROMPTS[1], max_new_tokens=8,
+                            sampling=sp, seed=42)
+            s2 = eng.submit(PROMPTS[2], max_new_tokens=8,
+                            sampling=sp, seed=43)
+            return {fr.request_id: fr.token_ids for fr in eng.run()}, (g, s1, s2)
+
+        out_a, (g, s1, s2) = run()
+        out_b, _ = run()
+        assert out_a[g] == reference_tokens(lm, PROMPTS[0], 8)
+        assert out_a[s1] == out_b[s1]        # same seed → same tokens
+        assert out_a[s2] == out_b[s2]
+        assert out_a[s1] != out_a[s2]        # different seeds diverge
+        vocab = lm.config.vocab_size
+        assert all(0 <= t < vocab for t in out_a[s1])
+
+    def test_top_k_one_equals_greedy(self, lm):
+        """top_k=1 sampling must collapse to greedy regardless of temperature."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        from kjarni_tpu.generate.sampling import SamplingParams
+        eng = ContinuousEngine(lm, slots=2)
+        rid = eng.submit(PROMPTS[3], max_new_tokens=8,
+                         sampling=SamplingParams(temperature=1.3, top_k=1,
+                                                 top_p=1.0, min_p=0.0))
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].token_ids == reference_tokens(lm, PROMPTS[3], 8)
