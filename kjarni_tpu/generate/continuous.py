@@ -31,7 +31,10 @@ import numpy as np
 
 from ..core.bucketing import seq_bucket
 from ..core.errors import GenerationError
-from .sampling import NEG_INF, SamplingParams, min_p_filter, top_p_filter
+from .sampling import (NEG_INF, SamplingParams, apply_no_repeat_ngram,
+                       apply_repetition_penalty, min_p_filter, top_p_filter)
+
+_HIST_BUF = 128   # per-slot generated-token history window for penalties
 
 
 def _sample_slot(logits, key, temp, top_k, top_p, min_p):
@@ -84,7 +87,8 @@ class ContinuousEngine:
         done = eng.drain()                              # finished requests
     """
 
-    def __init__(self, lm, slots: int = 8, max_context: Optional[int] = None):
+    def __init__(self, lm, slots: int = 8, max_context: Optional[int] = None,
+                 no_repeat_ngram_size: int = 0):
         from ..models import llama as kllama
         if lm.family is not kllama:
             raise GenerationError(
@@ -111,33 +115,63 @@ class ContinuousEngine:
         self._top_p = np.ones(slots, np.float32)
         self._min_p = np.zeros(slots, np.float32)
         self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(slots)])
+        # per-slot penalties over a rolling generated-token history window;
+        # ngram size is static per engine (shape-dependent), gated per slot
+        self.no_repeat_ngram_size = no_repeat_ngram_size
+        self._penalty = np.ones(slots, np.float32)
+        self._ngram_on = np.zeros(slots, bool)
+        self._hist = np.zeros((slots, _HIST_BUF), np.int32)
+        self._hist_len = np.zeros(slots, np.int32)
         self._next_id = 0
         self._queue: list[tuple] = []                   # waiting requests
         self._finished: list[FinishedRequest] = []
         self._prefill_cache: dict[int, any] = {}
         self._step_fn = self._build_step()
-        self._sample1 = jax.jit(_sample_slot)
+        self._first_fn = self._build_first()
 
     # ------------------------------------------------------------------
 
     def _build_step(self):
         cfg = self.cfg
         fwd = self.kllama.forward
+        ngram = self.no_repeat_ngram_size
 
         @partial(jax.jit, donate_argnums=(2, 3))
-        def step(params, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p):
+        def step(params, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p,
+                 pen, ngram_on, hist, hist_len):
             # vmap the B=1 forward over the slot axis: each slot attends its
             # own cache at its own frontier and samples with its own params
             # and PRNG key; one dispatch for all slots
-            def one(tok, ck1, cv1, p, key, t, tk, tp, mp):
+            def one(tok, ck1, cv1, p, key, t, tk, tp, mp, pe, ng, h, hl):
                 logits, ck1, cv1 = fwd(params, cfg, tok[None, None], ck1, cv1, p)
+                l = logits[0]
+                valid = jnp.arange(_HIST_BUF) < hl
+                l = apply_repetition_penalty(l, h, valid, pe)  # pe=1 → no-op
+                if ngram > 1:
+                    l = jnp.where(ng, apply_no_repeat_ngram(l, h, hl, ngram), l)
                 key, sub = jax.random.split(key)
-                nxt = _sample_slot(logits[0], sub, t, tk, tp, mp)
+                nxt = _sample_slot(l, sub, t, tk, tp, mp)
                 return nxt, ck1, cv1, key
             return jax.vmap(one)(toks, ck, cv, pos, keys, temp, top_k,
-                                 top_p, min_p)
+                                 top_p, min_p, pen, ngram_on, hist, hist_len)
 
         return step
+
+    def _build_first(self):
+        """Sampler for the token right after prefill: same penalty chain as
+        the step (history = prompt tail at that point, cf. decoder_lm.py:359
+        which seeds the buffer with the prompt)."""
+        ngram = self.no_repeat_ngram_size
+
+        @jax.jit
+        def first(logits, key, t, tk, tp, mp, pe, ng, h, hl):
+            valid = jnp.arange(_HIST_BUF) < hl
+            l = apply_repetition_penalty(logits, h, valid, pe)
+            if ngram > 1:
+                l = jnp.where(ng, apply_no_repeat_ngram(l, h, hl, ngram), l)
+            return _sample_slot(l, key, t, tk, tp, mp)
+
+        return first
 
     def _prefill_fn(self, bucket: int):
         fn = self._prefill_cache.get(bucket)
@@ -163,13 +197,22 @@ class ContinuousEngine:
 
     def submit(self, prompt: str, max_new_tokens: int = 128,
                sampling: Optional[SamplingParams] = None,
-               seed: Optional[int] = None) -> int:
+               seed: Optional[int] = None,
+               repetition_penalty: float = 1.0,
+               no_repeat_ngram: bool = False) -> int:
         """Queue a request; it joins the running batch at the next step.
 
         sampling=None (or temperature<=0) decodes greedily; otherwise the
         slot samples with its own temperature/top_k/top_p/min_p and a PRNG
         stream derived from `seed` (default: the request id).
+        repetition_penalty compounds per occurrence over the slot's last
+        _HIST_BUF generated tokens; no_repeat_ngram uses the engine's static
+        `no_repeat_ngram_size` (a jit shape), toggled per request.
         """
+        if no_repeat_ngram and self.no_repeat_ngram_size <= 1:
+            raise GenerationError(
+                "engine was built with no_repeat_ngram_size<=1; pass it to "
+                "ContinuousEngine(...) to enable per-request ngram blocking")
         ids = self.lm.encode_prompt(prompt, add_bos=True)
         if len(ids) + max_new_tokens > self.T:
             raise GenerationError(
@@ -177,7 +220,8 @@ class ContinuousEngine:
                 f"({max_new_tokens}) exceeds slot capacity {self.T}")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, ids, max_new_tokens, sampling, seed))
+        self._queue.append((rid, ids, max_new_tokens, sampling, seed,
+                            repetition_penalty, no_repeat_ngram))
         self._admit()
         return rid
 
@@ -188,7 +232,8 @@ class ContinuousEngine:
                 return
             if slot.active:
                 continue
-            rid, ids, max_new, sampling, seed = self._queue.pop(0)
+            rid, ids, max_new, sampling, seed, rep_pen, ngram_on = \
+                self._queue.pop(0)
             bucket = seq_bucket(len(ids))
             arr = np.zeros(bucket, np.int32)
             arr[:len(ids)] = ids               # right-pad; garbage slots are
@@ -201,14 +246,25 @@ class ContinuousEngine:
             self._top_k[slot_idx] = sp.top_k or 0
             self._top_p[slot_idx] = 1.0 if sp.top_p is None else sp.top_p
             self._min_p[slot_idx] = sp.min_p or 0.0
+            self._penalty[slot_idx] = rep_pen
+            self._ngram_on[slot_idx] = ngram_on
+            # penalties run over prompt + generated (decoder_lm.py:359); seed
+            # the rolling window with the prompt tail
+            tail = ids[-_HIST_BUF:]
+            self._hist[slot_idx, :len(tail)] = tail
+            self._hist_len[slot_idx] = len(tail)
             key = jax.random.PRNGKey(rid if seed is None else seed)
             key, sub = jax.random.split(key)
             self._keys = self._keys.at[slot_idx].set(key)
-            tok = self._sample1(logits, sub,
-                                jnp.float32(self._temp[slot_idx]),
-                                jnp.int32(self._top_k[slot_idx]),
-                                jnp.float32(self._top_p[slot_idx]),
-                                jnp.float32(self._min_p[slot_idx]))
+            tok = self._first_fn(logits, sub,
+                                 jnp.float32(self._temp[slot_idx]),
+                                 jnp.int32(self._top_k[slot_idx]),
+                                 jnp.float32(self._top_p[slot_idx]),
+                                 jnp.float32(self._min_p[slot_idx]),
+                                 jnp.float32(self._penalty[slot_idx]),
+                                 jnp.bool_(ngram_on),
+                                 jnp.asarray(self._hist[slot_idx]),
+                                 jnp.int32(self._hist_len[slot_idx]))
             slot.request_id = rid
             slot.active = True
             slot.pos = len(ids)
@@ -223,6 +279,13 @@ class ContinuousEngine:
             self._finish(slot_idx, "eos")
             return
         slot.generated.append(tok)
+        hl = int(self._hist_len[slot_idx])
+        if hl < _HIST_BUF:
+            self._hist[slot_idx, hl] = tok
+            self._hist_len[slot_idx] = hl + 1
+        else:   # rolling window: penalties see the last _HIST_BUF tokens
+            self._hist[slot_idx, :-1] = self._hist[slot_idx, 1:]
+            self._hist[slot_idx, -1] = tok
         slot.remaining -= 1
         if slot.remaining <= 0:
             self._finish(slot_idx, "length")
@@ -256,7 +319,9 @@ class ContinuousEngine:
             self.lm.params, jnp.asarray(self._last_tok), self.cache_k,
             self.cache_v, jnp.asarray(pos), self._keys,
             jnp.asarray(self._temp), jnp.asarray(self._top_k),
-            jnp.asarray(self._top_p), jnp.asarray(self._min_p))
+            jnp.asarray(self._top_p), jnp.asarray(self._min_p),
+            jnp.asarray(self._penalty), jnp.asarray(self._ngram_on),
+            jnp.asarray(self._hist), jnp.asarray(self._hist_len))
         toks = np.asarray(toks)
         for i, slot in enumerate(self._slots):
             if not slot.active:

@@ -120,3 +120,41 @@ class TestContinuousSampling:
                                                  top_p=1.0, min_p=0.0))
         done = {fr.request_id: fr for fr in eng.run()}
         assert done[rid].token_ids == reference_tokens(lm, PROMPTS[3], 8)
+
+
+class TestContinuousPenalties:
+    def test_repetition_penalty_matches_unbatched(self, lm):
+        """Per-slot penalty compounding must equal DecoderLM's greedy path."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        cfg = GenerationConfig.greedy(max_new_tokens=10, max_length=96,
+                                      repetition_penalty=1.4)
+        expected = [st.id for st in lm.generate_stream(PROMPTS[0], config=cfg)]
+        plain = reference_tokens(lm, PROMPTS[0], 10)
+        eng = ContinuousEngine(lm, slots=2)
+        rid = eng.submit(PROMPTS[0], max_new_tokens=10,
+                         repetition_penalty=1.4)
+        base = eng.submit(PROMPTS[1], max_new_tokens=10)  # shares the batch
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].token_ids == expected
+        if expected != plain:   # penalty actually changed something
+            assert done[rid].token_ids != plain
+        assert done[base].token_ids == reference_tokens(lm, PROMPTS[1], 10)
+
+    def test_no_repeat_ngram_matches_unbatched(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        cfg = GenerationConfig.greedy(max_new_tokens=10, max_length=96,
+                                      no_repeat_ngram_size=2)
+        expected = [st.id for st in lm.generate_stream(PROMPTS[4], config=cfg)]
+        eng = ContinuousEngine(lm, slots=2, no_repeat_ngram_size=2)
+        rid = eng.submit(PROMPTS[4], max_new_tokens=10, no_repeat_ngram=True)
+        off = eng.submit(PROMPTS[0], max_new_tokens=8)   # ngram off this slot
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].token_ids == expected
+        assert done[off].token_ids == reference_tokens(lm, PROMPTS[0], 8)
+
+    def test_ngram_requires_engine_setting(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        from kjarni_tpu.core.errors import GenerationError
+        eng = ContinuousEngine(lm, slots=2)
+        with pytest.raises(GenerationError, match="no_repeat_ngram_size"):
+            eng.submit("hello", no_repeat_ngram=True)
