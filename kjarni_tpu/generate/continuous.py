@@ -1,7 +1,8 @@
 """Token-level continuous batching: a slot-based decode engine.
 
 Goes beyond the reference (which is per-request; kjarni/src/generation drives
-one sequence at a time): requests join and leave a running decode mid-flight,
+one sequence at a time) and works for both decoder families (llama/qwen2/
+mistral/phi3 and gpt2): requests join and leave a running decode mid-flight,
 vLLM-style. TPU-native design constraints shape the layout:
 
   * static shapes — a fixed number of slots S, each with a fixed-length cache;
@@ -78,7 +79,7 @@ class FinishedRequest:
 
 
 class ContinuousEngine:
-    """Slot-based continuous-batching engine over a DecoderLM (llama family).
+    """Slot-based continuous-batching engine over a DecoderLM (any family).
 
     Usage:
         eng = ContinuousEngine(lm, slots=8)
@@ -89,24 +90,18 @@ class ContinuousEngine:
 
     def __init__(self, lm, slots: int = 8, max_context: Optional[int] = None,
                  no_repeat_ngram_size: int = 0):
-        from ..models import llama as kllama
-        if lm.family is not kllama:
-            raise GenerationError(
-                "continuous batching currently supports the llama decoder "
-                "family (llama/qwen2/mistral/phi3)")
         self.lm = lm
-        self.kllama = kllama
+        self.family = lm.family   # llama family or gpt2: same forward shape
         self.cfg = lm.config
         self.S = slots
         self.T = max_context or lm.max_context
-        dt = lm.params["layers"]["q"]["w"].dtype if isinstance(
-            lm.params["layers"]["q"], dict) else lm.params["layers"]["q"].dtype
+        dt = lm.params["embed"].dtype
         if dt == jnp.int8:
             dt = jnp.bfloat16
-        shape = (slots, self.cfg.num_layers, 1, self.cfg.num_kv_heads,
-                 self.T, self.cfg.head_dim)
-        self.cache_k = jnp.zeros(shape, dt)
-        self.cache_v = jnp.zeros(shape, dt)
+        # one B=1 cache per slot, stacked on a leading slot axis
+        ck1, cv1 = lm.family.init_cache(self.cfg, 1, self.T, dt)
+        self.cache_k = jnp.zeros((slots,) + ck1.shape, ck1.dtype)
+        self.cache_v = jnp.zeros((slots,) + cv1.shape, cv1.dtype)
         self._slots = [_Slot() for _ in range(slots)]
         self._last_tok = np.zeros(slots, np.int32)
         # per-slot sampling state (temp<=0 = greedy); keys advance per step
@@ -133,7 +128,7 @@ class ContinuousEngine:
 
     def _build_step(self):
         cfg = self.cfg
-        fwd = self.kllama.forward
+        fwd = self.family.forward
         ngram = self.no_repeat_ngram_size
 
         @partial(jax.jit, donate_argnums=(2, 3))
@@ -178,7 +173,7 @@ class ContinuousEngine:
         if fn is not None:
             return fn
         cfg = self.cfg
-        fwd = self.kllama.forward
+        fwd = self.family.forward
 
         @partial(jax.jit, donate_argnums=(2, 3))
         def prefill(params, ids, ck, cv, slot, last_idx):

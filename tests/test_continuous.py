@@ -158,3 +158,26 @@ class TestContinuousPenalties:
         eng = ContinuousEngine(lm, slots=2)
         with pytest.raises(GenerationError, match="no_repeat_ngram_size"):
             eng.submit("hello", no_repeat_ngram=True)
+
+
+class TestContinuousGpt2:
+    def test_gpt2_family_greedy_matches(self, tmp_path):
+        from transformers import GPT2Config, GPT2LMHeadModel
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        d = tmp_path / "gpt2"
+        d.mkdir()
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = GPT2Config(vocab_size=len(vm), n_embd=32, n_layer=2,
+                            n_head=2, n_positions=64, bos_token_id=2,
+                            eos_token_id=3)
+        torch.manual_seed(13)
+        save_torch_model(d, GPT2LMHeadModel(config).eval(), config)
+        g = DecoderLM(d, max_context=64)
+        eng = ContinuousEngine(g, slots=2)
+        r1 = eng.submit("hello world", max_new_tokens=8)
+        r2 = eng.submit("the doctor went", max_new_tokens=8)
+        done = {fr.request_id: fr for fr in eng.run()}
+        for rid, prompt in ((r1, "hello world"), (r2, "the doctor went")):
+            cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=64)
+            expected = [st.id for st in g.generate_stream(prompt, config=cfg)]
+            assert done[rid].token_ids == expected
