@@ -1,6 +1,6 @@
 # kjarni-tpu developer entry points
 
-.PHONY: test native bench parity clean
+.PHONY: test native bench bench-all parity loadtest clean
 
 test:
 	python -m pytest tests/ -q
@@ -16,9 +16,13 @@ bench-all:
 	python bench.py --metric decode
 	python bench.py --metric decode-int8
 	python bench.py --metric whisper
+	python bench.py --metric summarize
 
 parity:
 	python scripts/tpu_parity_check.py
+
+loadtest:
+	python scripts/serve_load_test.py --model $(MODEL)
 
 clean:
 	$(MAKE) -C native clean
