@@ -226,7 +226,8 @@ class SpeculativeGenerator:
             while n_generated < max_new:
                 if cancellation is not None and cancellation.is_cancelled:
                     break
-                if pos + self.k + 2 >= min(target.max_context, gen.max_length):
+                if pos + self.k + 2 >= min(target.max_context,
+                                           draft.max_context, gen.max_length):
                     break
                 d_toks, d_logits, dck, dcv = self._draft_scan(
                     draft.params, dck, dcv, cur, jnp.int32(pos))

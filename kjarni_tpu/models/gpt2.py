@@ -100,16 +100,33 @@ def init_cache(cfg: Gpt2Config, batch: int, max_len: int, dtype=jnp.float32):
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
 
-def _run_stack(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start):
+def _run_stack(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start,
+               use_flash: bool = False, positions=None, pad_mask=None):
+    """Embed -> scanned layer stack -> final norm.
+
+    Mirrors llama._run_stack's batched-generation contract: `positions` [B, S]
+    carries per-row absolute positions under LEFT padding (cache slots stay
+    shared), `pad_mask` [B, T] marks real kv slots. `use_flash` is accepted
+    for signature parity with DecoderLM._batch_fns but ignored — the flash
+    prefill path is gated to the llama family (decoder_lm.py _flash_ok).
+    """
+    del use_flash
     B, S = ids.shape
     T = cache_k.shape[3]
     H, D = cfg.num_heads, cfg.head_dim
-    positions = pos_start + jnp.arange(S)
-    x = jnp.take(params["embed"], ids, axis=0) + jnp.take(params["wpe"], positions,
-                                                          axis=0)[None]
-    qi = positions[:, None]
+    slot_q = pos_start + jnp.arange(S)
+    if positions is None:
+        positions = slot_q  # [S], shared across rows
+    pos_emb = jnp.take(params["wpe"], positions, axis=0)
+    if pos_emb.ndim == 2:
+        pos_emb = pos_emb[None]
+    x = jnp.take(params["embed"], ids, axis=0) + pos_emb
+    qi = slot_q[:, None]
     kj = jnp.arange(T)[None, :]
     bias = jnp.where(kj <= qi, 0.0, NEG_INF)[None, None, :, :]
+    if pad_mask is not None:
+        bias = bias + jnp.where(pad_mask.astype(bool), 0.0,
+                                NEG_INF)[:, None, None, :]
 
     def layer_fn(h, xs):
         lp, kc, vc = xs
@@ -134,8 +151,10 @@ def _run_stack(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start):
 
 
 def forward(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start,
-            last_idx=None):
-    x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v, pos_start)
+            last_idx=None, use_flash: bool = False, positions=None,
+            pad_mask=None):
+    x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v,
+                                     pos_start, use_flash, positions, pad_mask)
     if last_idx is None:
         last_idx = ids.shape[1] - 1
     last = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)

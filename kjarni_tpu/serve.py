@@ -59,6 +59,10 @@ class _Engine:
         # session prefix) — one generation per underlying model at a time.
         # Keyed by id(lm) so chat sessions sharing a DecoderLM share the lock.
         self._model_locks: dict[int, threading.Lock] = {}
+        # per-key creation locks: two concurrent first requests for the same
+        # model (or chat session) must not both construct — one would load the
+        # weights twice / silently discard the other's conversation state.
+        self._creation_locks: dict[tuple, threading.Lock] = {}
         self.defaults = {
             "classify": "distilbert-sentiment",
             "embed": "minilm-l6-v2",
@@ -70,13 +74,27 @@ class _Engine:
         self.defaults.update(default_models or {})
         self.quiet = quiet
 
+    def _creation_lock(self, key: tuple) -> threading.Lock:
+        with self._lock:
+            lock = self._creation_locks.get(key)
+            if lock is None:
+                lock = self._creation_locks[key] = threading.Lock()
+        return lock
+
     def get(self, kind: str, model: str | None):
         model = model or self.defaults[kind]
         key = (kind, model)
-        with self._lock:
-            obj = self._cache.get(key)
-            if obj is not None:
-                return obj
+        with self._creation_lock(key):
+            with self._lock:
+                obj = self._cache.get(key)
+                if obj is not None:
+                    return obj
+            obj = self._construct(kind, model)
+            with self._lock:
+                self._cache[key] = obj
+        return obj
+
+    def _construct(self, kind: str, model: str):
         if kind == "classify":
             from .tasks.classifier import Classifier
             obj = Classifier(model, quiet=self.quiet)
@@ -97,8 +115,6 @@ class _Engine:
             obj = Searcher(model, quiet=self.quiet)
         else:
             raise KjarniError(f"unknown task kind '{kind}'")
-        with self._lock:
-            self._cache[key] = obj
         return obj
 
     def _lm_lock(self, lm) -> threading.Lock:
@@ -205,24 +221,25 @@ class _Engine:
             session = body.get("session", "default")
             key = ("chat-session", body.get("model") or self.defaults["chat"],
                    session)
-            with self._lock:
-                chat = self._cache.get(key)
-            if chat is None:
-                from .tasks.chat import Chat
-                base = self.get("chat", model)  # shares the loaded weights? no —
-                # Chat owns its conversation; construct per session but reuse the
-                # underlying DecoderLM by cloning the task around it
-                chat = Chat.__new__(Chat)
-                chat.device = base.device
-                chat.model_info = base.model_info
-                chat.model_id = base.model_id
-                chat._lm = base._lm
-                from .chat_templates import Conversation
-                sp = base._lm.chat_template.default_system_prompt()
-                chat._conversation = (Conversation.with_system(sp) if sp
-                                      else Conversation())
+            with self._creation_lock(key):
                 with self._lock:
-                    self._cache[key] = chat
+                    chat = self._cache.get(key)
+                if chat is None:
+                    from .tasks.chat import Chat
+                    base = self.get("chat", model)
+                    # Chat owns its conversation; construct per session but
+                    # reuse the underlying DecoderLM weights from the base task
+                    chat = Chat.__new__(Chat)
+                    chat.device = base.device
+                    chat.model_info = base.model_info
+                    chat.model_id = base.model_id
+                    chat._lm = base._lm
+                    from .chat_templates import Conversation
+                    sp = base._lm.chat_template.default_system_prompt()
+                    chat._conversation = (Conversation.with_system(sp) if sp
+                                          else Conversation())
+                    with self._lock:
+                        self._cache[key] = chat
             if body.get("reset"):
                 chat.clear_history(keep_system=True)
             with self._lm_lock(chat._lm):

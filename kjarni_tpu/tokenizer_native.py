@@ -126,7 +126,8 @@ class BPETokenizer:
         return data.decode("utf-8", errors="replace")
 
     def token_to_id(self, token: str) -> Optional[int]:
-        return self.special_tokens.get(token) or self.vocab.get(token)
+        tid = self.special_tokens.get(token)
+        return tid if tid is not None else self.vocab.get(token)
 
 
 class WordPieceTokenizer:

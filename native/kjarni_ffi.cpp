@@ -206,10 +206,38 @@ KJARNI_API void kjarni_stream_cancel(long long handle) {
 // typed convenience wrappers (same names as kjarni-ffi per-task files)
 // ---------------------------------------------------------------------------
 
+// json.dumps a payload dict (steals nothing; payload may be null on OOM).
+// Returns "" on failure so callers can detect it without touching Python.
+static std::string json_dumps_payload(PyObject* payload) {
+  if (!payload) {
+    set_error_from_python();
+    return "";
+  }
+  PyObject* json_mod = PyImport_ImportModule("json");
+  if (!json_mod) {
+    Py_DECREF(payload);
+    set_error_from_python();
+    return "";
+  }
+  PyObject* args_str = PyObject_CallMethod(json_mod, "dumps", "O", payload);
+  Py_DECREF(payload);
+  Py_DECREF(json_mod);
+  if (!args_str) {
+    set_error_from_python();
+    return "";
+  }
+  const char* s = PyUnicode_AsUTF8(args_str);
+  std::string out = s ? s : "";
+  Py_DECREF(args_str);
+  return out;
+}
+
 static long long typed_new(const char* task, const char* model) {
   std::string opts = "{}";
   if (model && *model) {
-    opts = std::string("{\"model\": \"") + model + "\"}";
+    GilGuard gil;
+    opts = json_dumps_payload(Py_BuildValue("{s:s}", "model", model));
+    if (opts.empty()) return 0;
   }
   return kjarni_new(task, opts.c_str());
 }
@@ -288,9 +316,13 @@ KJARNI_API int kjarni_embedder_embed(long long h, const char* text, float* out,
 
 KJARNI_API float kjarni_embedder_similarity(long long h, const char* a,
                                             const char* b) {
-  char buf[1024];
-  snprintf(buf, sizeof(buf), "{\"a\": \"%s\", \"b\": \"%s\"}", a, b);
-  char* r = kjarni_call(h, "similarity", buf);
+  std::string buf;
+  {
+    GilGuard gil;
+    buf = json_dumps_payload(Py_BuildValue("{s:s,s:s}", "a", a, "b", b));
+  }
+  if (buf.empty()) return -2.0f;
+  char* r = kjarni_call(h, "similarity", buf.c_str());
   if (!r) return -2.0f;
   float v = -2.0f;
   const char* p = strstr(r, ":");

@@ -279,3 +279,31 @@ class TestExecutionPlan:
         from kjarni_tpu.core.errors import InvalidConfigError
         with pytest.raises(InvalidConfigError):
             DecoderLM(d, max_context=64, execution_plan="offload_everything")
+
+
+@pytest.fixture(scope="module")
+def gpt2_dir(tmp_path_factory):
+    from transformers import GPT2Config, GPT2LMHeadModel
+    d = tmp_path_factory.mktemp("gpt2_lm")
+    vocab_map = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+    config = GPT2Config(vocab_size=len(vocab_map), n_embd=48, n_layer=2,
+                        n_head=4, n_positions=128, bos_token_id=2,
+                        eos_token_id=3)
+    torch.manual_seed(11)
+    model = GPT2LMHeadModel(config).eval()
+    save_torch_model(d, model, config)
+    return d, model
+
+
+class TestGpt2BatchGenerate:
+    """Regression: gpt2.forward must accept the positions/pad_mask kwargs
+    that DecoderLM._batch_fns always passes (previously TypeError'd)."""
+
+    def test_batch_greedy_matches_individual(self, gpt2_dir):
+        d, _ = gpt2_dir
+        lm = DecoderLM(d, max_context=64)
+        prompts = ["hello world", "the doctor and the physician went"]
+        cfg = GenerationConfig.greedy(max_new_tokens=6, max_length=64)
+        batch = lm.generate_batch(prompts, config=cfg)
+        singles = [lm.generate(p, config=cfg) for p in prompts]
+        assert batch == singles
