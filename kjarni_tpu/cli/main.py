@@ -200,6 +200,9 @@ def cmd_generate(args) -> int:
     overrides = _model_overrides(args.model)
     if getattr(args, "offload", None):
         overrides["execution_plan"] = f"offload_{args.offload}"
+    if getattr(args, "draft_model", None):
+        overrides["draft_model"] = args.draft_model
+        overrides["draft_num_tokens"] = args.draft_tokens
     gen = Generator(args.model, quiet=args.quiet, **overrides)
     cfg = resolve_generation_config(
         args.preset, None,
@@ -216,8 +219,12 @@ def cmd_generate(args) -> int:
 
 def cmd_chat(args) -> int:
     from ..tasks.chat import Chat
+    chat_overrides = _model_overrides(args.model)
+    if getattr(args, "draft_model", None):
+        chat_overrides["draft_model"] = args.draft_model
+        chat_overrides["draft_num_tokens"] = args.draft_tokens
     chat = Chat(args.model, system_prompt=args.system, quiet=args.quiet,
-                **_model_overrides(args.model))
+                **chat_overrides)
     if args.message:
         reply = chat.send(args.message)
         print(reply)
@@ -302,7 +309,9 @@ def cmd_serve(args) -> int:
                          default_models=parse_model_overrides(args.models),
                          max_batch=args.max_batch,
                          batch_window_ms=args.batch_window_ms,
-                         scheduler=args.scheduler)
+                         scheduler=args.scheduler,
+                         draft_model=args.draft_model,
+                         request_timeout_s=args.device_timeout)
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()
@@ -395,12 +404,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--offload", choices=["embeddings", "head", "ends"],
                     help="keep the embedding table and/or lm head in host "
                          "memory (pinned_host) to save HBM")
+    sp.add_argument("--draft-model",
+                    help="smaller same-vocab model for speculative decoding")
+    sp.add_argument("--draft-tokens", type=int, default=4,
+                    help="draft tokens proposed per speculation round")
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_generate)
 
     sp = sub.add_parser("chat", help="chat with an instruct model")
     sp.add_argument("--message", "-m", help="single message (non-interactive)")
     sp.add_argument("--system")
+    sp.add_argument("--draft-model",
+                    help="smaller same-vocab model for speculative decoding")
+    sp.add_argument("--draft-tokens", type=int, default=4)
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_chat)
 
@@ -449,6 +465,11 @@ def build_parser() -> argparse.ArgumentParser:
                     default="batch",
                     help="'continuous' joins generate requests into a "
                          "running slot-based decode (token-level batching)")
+    sp.add_argument("--draft-model",
+                    help="speculative-decoding draft model for /v1/generate")
+    sp.add_argument("--device-timeout", type=float, default=None,
+                    help="per-request deadline in seconds; a wedged device "
+                         "returns 503 instead of hanging")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("search", help="search an index")

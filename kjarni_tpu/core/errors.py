@@ -58,3 +58,9 @@ class IndexError_(KjarniError):
 
 class CancelledError(KjarniError):
     """Operation was cancelled via a CancellationToken."""
+
+
+class DeviceTimeoutError(KjarniError):
+    """A device sync exceeded its deadline (cf. gpu_ops/timeout.rs:12
+    GpuTimeoutConfig + poll_with_timeout — the reference aborts wedged GPU
+    polls instead of hanging forever; we do the same for TPU syncs)."""

@@ -44,7 +44,18 @@ class SpeculativeGenerator:
         self.draft = draft
         self.k = num_tokens
         self.probabilistic = probabilistic
+        # acceptance telemetry (the reference logs draft acceptance,
+        # speculation.rs accept bookkeeping): updated per generation
+        self.last_rounds = 0
+        self.last_drafted = 0
+        self.last_accepted = 0
         self._build()
+
+    @property
+    def last_acceptance_rate(self) -> float:
+        """Fraction of drafted tokens the target accepted, last generation."""
+        return (self.last_accepted / self.last_drafted
+                if self.last_drafted else 0.0)
 
     def _build(self):
         k = self.k
@@ -118,11 +129,11 @@ class SpeculativeGenerator:
             out = jnp.full((max_new,), -1, jnp.int32)
 
             def cond(state):
-                done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
+                done, cur, pos, tck, tcv, dck, dcv, out, n_out, rounds, rng = state
                 return jnp.logical_not(done) & (n_out < max_new) &                     (pos + k + 2 < max_pos)
 
             def body(state):
-                done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
+                done, cur, pos, tck, tcv, dck, dcv, out, n_out, rounds, rng = state
 
                 def d_body(carry, i):
                     tok, dck, dcv = carry
@@ -159,13 +170,13 @@ class SpeculativeGenerator:
                 n_kept = jnp.sum(keep.astype(jnp.int32))
                 done = jnp.any(is_stop & emit_valid) |                     (n_out + n_kept >= max_new)
                 return (done, nxt, pos + n_acc + 1, tck, tcv, dck, dcv, out,
-                        n_out + n_kept, rng)
+                        n_out + n_kept, rounds + 1, rng)
 
             state = (jnp.bool_(False), cur0, pos0, tck, tcv, dck, dcv, out,
-                     jnp.int32(0), rng)
+                     jnp.int32(0), jnp.int32(0), rng)
             state = jax.lax.while_loop(cond, body, state)
-            done, cur, pos, tck, tcv, dck, dcv, out, n_out, rng = state
-            return out, n_out, tck, tcv, dck, dcv
+            done, cur, pos, tck, tcv, dck, dcv, out, n_out, rounds, rng = state
+            return out, n_out, rounds, pos - pos0, tck, tcv, dck, dcv
 
         self._fused_loop = fused_loop
 
@@ -182,6 +193,7 @@ class SpeculativeGenerator:
             token_ids = target.encode_prompt(prompt, gen.add_bos_token)
         ids = list(token_ids)[: target.max_context - self.k - 2]
         prompt_len = len(ids)
+        self.last_rounds = self.last_drafted = self.last_accepted = 0
         stats = GenerationStats()
         stats.start()
 
@@ -240,6 +252,9 @@ class SpeculativeGenerator:
                 else:
                     n_acc, nxt = self._verify_greedy(t_logits, d_toks)
                 n_acc = int(n_acc)
+                self.last_rounds += 1
+                self.last_drafted += self.k
+                self.last_accepted += n_acc
                 accepted = [int(t) for t in np.asarray(d_toks[:n_acc])]
                 stopped = False
                 for t in accepted:
@@ -263,18 +278,25 @@ class SpeculativeGenerator:
             stats.mark_decode_done(n_generated)
             stats.print_summary()
 
-    def generate(self, prompt: str, *,
+    def generate(self, prompt: Optional[str] = None, *,
+                 token_ids=None,
                  config: Optional[GenerationConfig] = None,
+                 cancellation: Optional[CancellationToken] = None,
                  fused: bool = True) -> str:
         """Blocking speculative generation; fused=True runs the entire loop
         as one device dispatch (greedy strategy only)."""
         gen = config or GenerationConfig.greedy()
         if not fused or self.probabilistic or gen.strategy != "greedy":
             return "".join(st.text for st in
-                           self.generate_stream(prompt, config=gen))
+                           self.generate_stream(prompt, token_ids=token_ids,
+                                                config=gen,
+                                                cancellation=cancellation))
         target, draft = self.target, self.draft
-        ids = target.encode_prompt(prompt, gen.add_bos_token)
-        ids = ids[: target.max_context - self.k - 2]
+        if token_ids is None:
+            if prompt is None:
+                raise GenerationError("either prompt or token_ids is required")
+            token_ids = target.encode_prompt(prompt, gen.add_bos_token)
+        ids = list(token_ids)[: target.max_context - self.k - 2]
         prompt_len = len(ids)
 
         tck, tcv = target._ensure_cache()
@@ -299,13 +321,19 @@ class SpeculativeGenerator:
         max_new = gen.max_new_tokens if gen.max_new_tokens is not None else             max(gen.max_length - prompt_len, 0)
         max_pos = min(target.max_context, gen.max_length, draft.max_context)
         toks = [c]
+        self.last_rounds = self.last_drafted = self.last_accepted = 0
         if max_new > 1:
-            out, n, tck, tcv, dck, dcv = self._fused_loop(
+            out, n, rounds, advanced, tck, tcv, dck, dcv = self._fused_loop(
                 target.params, draft.params, tck, tcv, dck, dcv, cur,
                 jnp.int32(prompt_len),
                 jax.random.PRNGKey(gen.seed or 0),
                 max_new=int(max_new - 1), max_pos=int(max_pos))
             toks += [int(t) for t in np.asarray(out[:int(n)]) if t >= 0]
+            r = int(rounds)
+            # pos advances n_acc+1 per round, so accepted = advanced - rounds
+            self.last_rounds = r
+            self.last_drafted = r * self.k
+            self.last_accepted = max(int(advanced) - r, 0)
         target._cache = (tck, tcv)
         draft._cache = (dck, dcv)
         target._session_ids = []

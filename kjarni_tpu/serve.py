@@ -42,7 +42,9 @@ class _Engine:
 
     def __init__(self, default_models: dict[str, str] | None = None,
                  quiet: bool = True, max_batch: int = 1,
-                 batch_window_ms: float = 10.0, scheduler: str = "batch"):
+                 batch_window_ms: float = 10.0, scheduler: str = "batch",
+                 draft_model: str | None = None, draft_num_tokens: int = 4,
+                 request_timeout_s: float | None = None):
         if scheduler not in ("batch", "continuous"):
             raise KjarniError(f"unknown scheduler '{scheduler}' "
                               f"(expected 'batch' or 'continuous')")
@@ -73,6 +75,15 @@ class _Engine:
         }
         self.defaults.update(default_models or {})
         self.quiet = quiet
+        # speculative decoding for /v1/generate (greedy requests)
+        self.draft_model = draft_model
+        self.draft_num_tokens = draft_num_tokens
+        # device-hang watchdog (gpu_ops/timeout.rs analogue): bound each
+        # request body; a wedged device yields 503, not a hung connection
+        from .core.watchdog import DEFAULT_TIMEOUT_S
+        self.request_timeout_s = (request_timeout_s
+                                  if request_timeout_s is not None
+                                  else DEFAULT_TIMEOUT_S)
 
     def _creation_lock(self, key: tuple) -> threading.Lock:
         with self._lock:
@@ -106,7 +117,9 @@ class _Engine:
             obj = Reranker(model, quiet=self.quiet)
         elif kind in ("generate",):
             from .tasks.generator import Generator
-            obj = Generator(model, quiet=self.quiet)
+            obj = Generator(model, quiet=self.quiet,
+                            draft_model=self.draft_model,
+                            draft_num_tokens=self.draft_num_tokens)
         elif kind == "chat":
             from .tasks.chat import Chat
             obj = Chat(model, quiet=self.quiet)
@@ -234,6 +247,7 @@ class _Engine:
                     chat.model_info = base.model_info
                     chat.model_id = base.model_id
                     chat._lm = base._lm
+                    chat._spec = base._spec
                     from .chat_templates import Conversation
                     sp = base._lm.chat_template.default_system_prompt()
                     chat._conversation = (Conversation.with_system(sp) if sp
@@ -281,10 +295,17 @@ def make_handler(engine: _Engine):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            from .core.errors import DeviceTimeoutError
+            from .core.watchdog import call_with_timeout
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                self._reply(200, engine.handle(self.path, body))
+                out = call_with_timeout(
+                    lambda: engine.handle(self.path, body),
+                    engine.request_timeout_s, f"request {self.path}")
+                self._reply(200, out)
+            except DeviceTimeoutError as e:
+                self._reply(503, {"error": str(e)})
             except KjarniError as e:
                 self._reply(400, {"error": str(e)})
             except (KeyError, json.JSONDecodeError) as e:
@@ -299,9 +320,13 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
           default_models: dict[str, str] | None = None,
           max_batch: int = 1,
           batch_window_ms: float = 10.0,
-          scheduler: str = "batch") -> ThreadingHTTPServer:
+          scheduler: str = "batch",
+          draft_model: str | None = None,
+          request_timeout_s: float | None = None) -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
-                     batch_window_ms=batch_window_ms, scheduler=scheduler)
+                     batch_window_ms=batch_window_ms, scheduler=scheduler,
+                     draft_model=draft_model,
+                     request_timeout_s=request_timeout_s)
     server = KjarniHTTPServer((host, port), make_handler(engine))
     return server
 
@@ -335,12 +360,20 @@ def main(argv=None) -> int:
                     default="batch",
                     help="'continuous' joins generate requests into a "
                          "running slot-based decode (token-level batching)")
+    ap.add_argument("--draft-model",
+                    help="speculative-decoding draft model for /v1/generate")
+    ap.add_argument("--device-timeout", type=float, default=None,
+                    help="per-request deadline in seconds; a wedged device "
+                         "returns 503 instead of hanging (default: "
+                         "KJARNI_DEVICE_TIMEOUT_S or off)")
     args = ap.parse_args(argv)
     server = serve(args.host, args.port,
                    default_models=parse_model_overrides(args.models),
                    max_batch=args.max_batch,
                    batch_window_ms=args.batch_window_ms,
-                   scheduler=args.scheduler)
+                   scheduler=args.scheduler,
+                   draft_model=args.draft_model,
+                   request_timeout_s=args.device_timeout)
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

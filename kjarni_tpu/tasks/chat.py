@@ -31,6 +31,8 @@ class Chat:
                  max_context: Optional[int] = None,
                  dtype: str = "auto",
                  quantize: Optional[str] = None,
+                 draft_model: Optional[str] = None,
+                 draft_num_tokens: int = 4,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -41,6 +43,15 @@ class Chat:
         self.model_id = info.cli_name if info else str(model)
         self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
                              quantize=quantize)
+        self._spec = None
+        if draft_model is not None:
+            draft_dir, _ = resolve_model_dir(
+                draft_model, cache_dir, policy, quiet, _CHAT_TASKS, "chat")
+            from ..generate.speculative import SpeculativeGenerator
+            self._spec = SpeculativeGenerator(
+                self._lm, DecoderLM(draft_dir, dtype=dtype,
+                                    max_context=max_context),
+                num_tokens=draft_num_tokens)
         if system_prompt is None:
             system_prompt = self._lm.chat_template.default_system_prompt()
         self._conversation = (Conversation.with_system(system_prompt)
@@ -49,6 +60,11 @@ class Chat:
     @property
     def lm(self) -> DecoderLM:
         return self._lm
+
+    @property
+    def speculative(self):
+        """SpeculativeGenerator when a draft model is loaded, else None."""
+        return self._spec
 
     @property
     def conversation(self) -> Conversation:
@@ -83,9 +99,13 @@ class Chat:
 
         collected: list[str] = []
 
+        use_spec = self._spec is not None and cfg.strategy == "greedy"
+        source = (self._spec.generate_stream if use_spec
+                  else self._lm.generate_stream)
+
         def _run():
             stop_seqs = self._lm.chat_template.stop_sequences()
-            for st in self._lm.generate_stream(
+            for st in source(
                     token_ids=token_ids, config=cfg, cancellation=cancellation):
                 text = st.text
                 # template stop sequences are usually special tokens already

@@ -57,6 +57,8 @@ class Generator:
                  dtype: str = "auto",
                  quantize: Optional[str] = None,
                  execution_plan=None,
+                 draft_model: Optional[str] = None,
+                 draft_num_tokens: int = 4,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -67,10 +69,35 @@ class Generator:
         self.model_id = info.cli_name if info else str(model)
         self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
                              quantize=quantize, execution_plan=execution_plan)
+        # Speculative decoding: the generator owns the draft model so every
+        # caller (Chat/CLI/serve) gets it — cf. decoder/generator.rs:56
+        # loading the draft inside DecoderGenerator.
+        self._spec = None
+        if draft_model is not None:
+            draft_dir, _ = resolve_model_dir(
+                draft_model, cache_dir, policy, quiet, _GENERATOR_TASKS,
+                "generation")
+            draft_lm = DecoderLM(draft_dir, dtype=dtype,
+                                 max_context=max_context)
+            from ..generate.speculative import SpeculativeGenerator
+            self._spec = SpeculativeGenerator(
+                self._lm, draft_lm, num_tokens=draft_num_tokens)
 
     @property
     def lm(self) -> DecoderLM:
         return self._lm
+
+    @property
+    def speculative(self):
+        """The SpeculativeGenerator when a draft model is loaded, else None.
+        Exposes acceptance telemetry (last_acceptance_rate)."""
+        return self._spec
+
+    def _use_spec(self, cfg: GenerationConfig) -> bool:
+        # greedy rounds verify exactly; sampled strategies keep the vanilla
+        # path (the probabilistic verifier changes the sampling distribution
+        # guarantees only under matched temperature — conservative default).
+        return self._spec is not None and cfg.strategy == "greedy"
 
     def generate(self, prompt: str, *, preset: Optional[str] = None,
                  config: Optional[GenerationConfig] = None,
@@ -78,6 +105,9 @@ class Generator:
                  **overrides) -> str:
         cfg = resolve_generation_config(
             preset, config, self._lm.default_generation_config(), **overrides)
+        if self._use_spec(cfg):
+            return self._spec.generate(prompt, config=cfg,
+                                       cancellation=cancellation)
         return self._lm.generate(prompt, config=cfg, cancellation=cancellation)
 
     def generate_batch(self, prompts: list[str], *,
@@ -95,4 +125,7 @@ class Generator:
                         **overrides) -> Iterator[StreamedToken]:
         cfg = resolve_generation_config(
             preset, config, self._lm.default_generation_config(), **overrides)
+        if self._use_spec(cfg):
+            return self._spec.generate_stream(prompt, config=cfg,
+                                              cancellation=cancellation)
         return self._lm.generate_stream(prompt, config=cfg, cancellation=cancellation)
