@@ -49,6 +49,55 @@ class TestMelFrontend:
         assert abs(len(y) - 16000) <= 1
 
 
+class TestPolyphaseResample:
+    """Windowed-sinc polyphase resampler vs scipy.signal.resample_poly
+    (VERDICT item 6: the round-1 linear interpolator aliased on 44.1k->16k;
+    reference uses rubato's polyphase, audio/loader.rs:72)."""
+
+    @pytest.mark.parametrize("src", [44100, 48000, 8000, 22050, 32000])
+    def test_matches_scipy_golden(self, src):
+        scipy_signal = pytest.importorskip("scipy.signal")
+        import math
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal(src) * 0.3).astype(np.float32)  # 1s of noise
+        got = resample(x, src, 16000)
+        g = math.gcd(src, 16000)
+        want = scipy_signal.resample_poly(x.astype(np.float64),
+                                          16000 // g, src // g)
+        assert len(got) == len(want)
+        assert float(np.abs(got - want).max()) < 1e-3
+
+    def test_antialiasing_kills_above_nyquist_tone(self):
+        # 10 kHz tone sampled at 44.1k is above the 8 kHz target Nyquist:
+        # a correct resampler suppresses it; linear interpolation aliased it
+        # to ~5.9 kHz at full amplitude (the round-1 bug).
+        x = create_sine_wave(10000.0, 1.0, 44100)
+        y = resample(x, 44100, 16000)
+        rms = float(np.sqrt(np.mean(y[800:-800] ** 2)))
+        assert rms < 0.01, f"aliased energy leaked through: rms={rms}"
+
+    def test_passband_tone_preserved(self):
+        x = create_sine_wave(1000.0, 1.0, 44100)
+        y = resample(x, 44100, 16000)
+        rms = float(np.sqrt(np.mean(y[800:-800] ** 2)))
+        assert abs(rms - 1 / np.sqrt(2)) < 0.01
+
+    def test_identity_when_rates_equal(self):
+        x = create_sine_wave(100.0, 0.5, 16000)
+        np.testing.assert_array_equal(resample(x, 16000, 16000), x)
+
+    def test_short_input(self):
+        assert len(resample(np.zeros(1, np.float32), 44100, 16000)) >= 0
+
+    def test_upsample_exact_ratio(self):
+        scipy_signal = pytest.importorskip("scipy.signal")
+        x = (np.random.default_rng(3).standard_normal(8000) * 0.2
+             ).astype(np.float32)
+        got = resample(x, 8000, 16000)
+        want = scipy_signal.resample_poly(x.astype(np.float64), 2, 1)
+        assert float(np.abs(got - want).max()) < 1e-3
+
+
 def whisper_checkpoint(tmp_path, seed=0):
     from transformers import WhisperConfig, WhisperForConditionalGeneration
     config = WhisperConfig(
