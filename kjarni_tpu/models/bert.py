@@ -377,6 +377,12 @@ def encode(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
         rope_cos = params["rope_cos"][:seq]
         rope_sin = params["rope_sin"][:seq]
 
+    # NOTE on fused QKV: the reference fuses q/k/v into one GEMM on CPU
+    # (cpu/encoder/qkv_projection.rs:12). Measured on TPU (v5e, MiniLM
+    # geometry, scripts/encoder_ablation3.py) the fused [H,3H] GEMM is ~5%
+    # SLOWER than three separate GEMMs — XLA already schedules the three
+    # N=H matmuls back-to-back, and the post-GEMM slicing costs layout
+    # copies. Separate projections are the TPU-native choice.
     def layer_fn(h, lp):
         q = h @ lp["q"]["w"]
         k = h @ lp["k"]["w"]
