@@ -1,26 +1,25 @@
-"""Weight-only int8 matmul (Pallas TPU kernel).
+"""Weight-only int8 matmul — the XLA convert-fused path.
 
 TPU-native analogue of the reference's quantized matvec kernels
 (cpu/kernels/x86/q8_0.rs:7 matmul_vec_q8_0_avx2 and friends): weights live in
-HBM as int8 + per-output-channel scales (half the bytes of bf16), and blocks
-are dequantized in VMEM on the way into the MXU. The per-channel scale is
-applied OUTSIDE the kernel (exact for per-channel scaling; XLA fuses the
-row-scale into the kernel's consumer). For HBM-bandwidth-bound decode, halving
-weight bytes is a direct speedup lever.
+HBM as int8 + per-output-channel scales (half the bytes of bf16). For
+HBM-bandwidth-bound decode, halving weight bytes is a direct ~2x speedup.
 
-Tiling note: int8 operands want (32, 128) tiles and bf16 (16, 128) — block
-sizes are floored accordingly to keep Mosaic happy.
+DESIGN DECISION (round 2): the production path is `int8_matmul_xla` — XLA
+fuses the int8->bf16 convert into the matmul operand load and reaches full
+HBM bandwidth (measured 755 GB/s on v5e vs 742 GB/s for plain bf16 weights =
+1.99x effective bytes). A hand-written Pallas kernel (round 1) reached only
+~410 GB/s: its VMEM dequant-convert did not pipeline ahead of the MXU well
+enough, and a bandwidth-bound op cannot beat a compiler path already at the
+HBM roofline. Per the beat-or-delete rule it was deleted; models use the XLA
+path via models/llama.py::_mm. (Pallas remains the right tool where XLA
+CAN'T fuse — see ops/pallas/flash_attention.py.)
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_weights_int8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -32,70 +31,19 @@ def quantize_weights_int8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, scales
 
 
-def _kernel(x_ref, w_ref, o_ref, acc_ref, *, n_k_blocks: int):
-    ki = pl.program_id(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:].astype(jnp.bfloat16)
-    w = w_ref[:].astype(jnp.bfloat16)  # int8 -> bf16 dequant in VMEM
-    acc_ref[:] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
-
-    @pl.when(ki == n_k_blocks - 1)
-    def _finalize():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k",
-                                             "interpret"))
-def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray, *,
-                block_m: int = 256, block_n: int = 512, block_k: int = 512,
-                interpret: bool = False) -> jnp.ndarray:
-    """x [M, K] (f32/bf16) @ dequant(w_q [K, N] int8, scales [N]) -> [M, N]."""
-    M, K = x.shape
-    Kw, N = w_q.shape
-    assert K == Kw, (K, Kw)
-    # floor block sizes at hardware tile minima (int8: 32x128)
-    block_m = max(32, min(block_m, -(-M // 32) * 32))
-    block_n = max(128, min(block_n, N))
-    block_k = max(128, min(block_k, K))
-    M_pad = -(-M // block_m) * block_m
-    N_pad = -(-N // block_n) * block_n
-    K_pad = -(-K // block_k) * block_k
-    xf = jnp.pad(x, ((0, M_pad - M), (0, K_pad - K)))
-    wf = jnp.pad(w_q, ((0, K_pad - K), (0, N_pad - N)))
-
-    grid = (M_pad // block_m, N_pad // block_n, K_pad // block_k)
-    out = pl.pallas_call(
-        functools.partial(_kernel, n_k_blocks=grid[2]),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, block_k), lambda i, j, k: (i, k)),
-            pl.BlockSpec((block_k, block_n), lambda i, j, k: (k, j)),
-        ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, k: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((M_pad, N_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
-        interpret=interpret,
-    )(xf, wf)
-    out = out[:M, :N] * scales[None, :]
-    return out.astype(x.dtype)
-
-
 def int8_matmul_reference(x: jnp.ndarray, w_q: jnp.ndarray,
                           scales: jnp.ndarray) -> jnp.ndarray:
-    """XLA reference path (dequant materialized) for testing/fallback."""
+    """Dequant-materialized reference (tests): exact same math, worst layout."""
     w = w_q.astype(x.dtype) * scales[None, :].astype(x.dtype)
     return x @ w
 
 
 def int8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray,
                     scales: jnp.ndarray) -> jnp.ndarray:
-    """The PRODUCTION int8 weight-only path: XLA fuses the int8->bf16 convert
-    into the matmul operand load, hitting full HBM bandwidth (measured 755 GB/s
-    vs 742 GB/s for bf16 weights = 1.99x effective on v5e). The Pallas kernel
-    above reaches only ~410 GB/s and exists as a tuning baseline — models use
-    this path via models/llama.py::_mm."""
+    """PRODUCTION int8 weight-only matmul: convert fused into the operand
+    load, per-channel scale applied to the (small) output."""
     return (x @ w_q.astype(x.dtype)) * scales[None, :].astype(x.dtype)
+
+
+# Back-compat alias: callers that asked for the "kernel" get the fastest path.
+int8_matmul = int8_matmul_xla
