@@ -47,12 +47,36 @@ class WhisperTask(str, enum.Enum):
 
 @dataclasses.dataclass
 class WhisperTranscriberConfig:
-    """Cf. transcriber.rs:33 WhisperTranscriberConfig."""
+    """Cf. transcriber.rs:33 WhisperTranscriberConfig.
+
+    temperature_fallback enables the OpenAI-Whisper quality loop the
+    reference does NOT implement (greedy-only, transcriber.rs:143): when a
+    chunk's transcript is degenerate (gzip compression ratio above
+    compression_ratio_threshold — repetition loops — or mean token logprob
+    below logprob_threshold), the chunk is re-decoded at increasing sampling
+    temperatures until a candidate passes. Off by default for reference
+    parity.
+    """
 
     language: Optional[str] = None
     task: WhisperTask = WhisperTask.TRANSCRIBE
     timestamps: bool = False
     max_tokens_per_chunk: int = 224
+    temperature_fallback: bool = False
+    temperatures: tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    compression_ratio_threshold: float = 2.4
+    logprob_threshold: float = -1.0
+    seed: int = 0
+
+
+def compression_ratio(text: str) -> float:
+    """gzip-style compressibility of the transcript: repetition loops
+    compress extremely well (ratio > threshold flags a degenerate decode)."""
+    import zlib
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 @dataclasses.dataclass
@@ -124,16 +148,30 @@ class WhisperModel:
 
         @partial(jax.jit, donate_argnums=(2, 3),
                  static_argnames=("max_steps", "prompt_len"))
-        def _decode_loop(params, prompt_ids, sk, sv, ck, cv, allow, *,
-                         max_steps, prompt_len):
-            """Whole greedy decode fused on device: prefill + while_loop until
-            EOT. One dispatch + one small readback per chunk — the per-token
-            host sync (and its latency) disappears."""
+        def _decode_loop(params, prompt_ids, sk, sv, ck, cv, allow,
+                         temperature, rng, *, max_steps, prompt_len):
+            """Whole decode fused on device: prefill + while_loop until EOT.
+            One dispatch + one small readback per chunk — the per-token host
+            sync (and its latency) disappears. temperature==0 is greedy;
+            temperature>0 samples (the quality-fallback retry path). Also
+            accumulates the sum of selected-token logprobs for the
+            logprob_threshold check."""
             enc_mask = jnp.ones((1, cfg.max_source_positions), jnp.int32)
+
+            def pick(logits, rng):
+                masked = jnp.where(allow, logits.astype(jnp.float32), -jnp.inf)
+                lse = jax.nn.logsumexp(masked)
+                rng, sub = jax.random.split(rng)
+                sampled = jax.random.categorical(
+                    sub, masked / jnp.maximum(temperature, 1e-6))
+                greedy = jnp.argmax(masked)
+                tok = jnp.where(temperature > 0, sampled, greedy
+                                ).astype(jnp.int32)
+                return tok, masked[tok] - lse, rng
+
             logits, sk, sv = kwhisper.decode_step(params, cfg, prompt_ids,
                                                   sk, sv, ck, cv, enc_mask, 0)
-            tok = jnp.argmax(jnp.where(allow, logits[0, -1], -jnp.inf)
-                             ).astype(jnp.int32)
+            tok, lp, rng = pick(logits[0, -1], rng)
             out = jnp.full((max_steps + 1,), EOT_TOKEN, jnp.int32)
             out = out.at[0].set(tok)
 
@@ -142,18 +180,17 @@ class WhisperModel:
                 return (i < max_steps) & (tok != EOT_TOKEN)
 
             def body(state):
-                i, tok, out, sk, sv = state
+                i, tok, out, sum_lp, sk, sv, rng = state
                 logits, sk, sv = kwhisper.decode_step(
                     params, cfg, tok[None, None], sk, sv, ck, cv, enc_mask,
                     prompt_len + i)
-                nxt = jnp.argmax(jnp.where(allow, logits[0, -1], -jnp.inf)
-                                 ).astype(jnp.int32)
+                nxt, lp, rng = pick(logits[0, -1], rng)
                 out = out.at[i + 1].set(nxt)
-                return i + 1, nxt, out, sk, sv
+                return i + 1, nxt, out, sum_lp + lp, sk, sv, rng
 
-            n, tok, out, sk, sv = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), tok, out, sk, sv))
-            return out, n + 1, sk, sv
+            n, tok, out, sum_lp, sk, sv, rng = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tok, out, lp, sk, sv, rng))
+            return out, n + 1, sum_lp, sk, sv
 
         self._decode_loop = _decode_loop
 
@@ -210,19 +247,36 @@ class WhisperModel:
         max_len = min(len(prompt) + config.max_tokens_per_chunk + 1,
                       cfg.max_target_positions)
         cache_len = seq_bucket(max_len, cfg.max_target_positions)
-        sk, sv = kwhisper.init_self_cache(cfg, 1, cache_len,
-                                          self.params["embed"].dtype)
         allow = self._allow_ts if config.timestamps else self._allow_no_ts
 
         if on_token is None:
-            # fused path: entire greedy loop on device, one readback per chunk
+            # fused path: entire decode loop on device, one readback per chunk
             max_steps = min(config.max_tokens_per_chunk,
                             cache_len - len(prompt) - 1)
-            out, n, sk, sv = self._decode_loop(
-                self.params, jnp.asarray([prompt], jnp.int32), sk, sv, ck, cv,
-                allow, max_steps=max_steps, prompt_len=len(prompt))
-            generated = [int(t) for t in np.asarray(out[:int(n)])]
+            temps = (config.temperatures if config.temperature_fallback
+                     else (0.0,))
+            generated: list[int] = []
+            for attempt, temp in enumerate(temps):
+                sk, sv = kwhisper.init_self_cache(cfg, 1, cache_len,
+                                                  self.params["embed"].dtype)
+                rng = jax.random.PRNGKey(config.seed + attempt)
+                out, n, sum_lp, sk, sv = self._decode_loop(
+                    self.params, jnp.asarray([prompt], jnp.int32), sk, sv,
+                    ck, cv, allow, jnp.float32(temp), rng,
+                    max_steps=max_steps, prompt_len=len(prompt))
+                generated = [int(t) for t in np.asarray(out[:int(n)])]
+                if not config.temperature_fallback:
+                    break
+                text_ids = [i for i in generated if i < FIRST_SPECIAL_TOKEN]
+                text = self.tokenizer.decode(text_ids, skip_special_tokens=True)
+                avg_lp = float(sum_lp) / max(len(generated), 1)
+                if (compression_ratio(text) <= config.compression_ratio_threshold
+                        and avg_lp >= config.logprob_threshold):
+                    break  # decode accepted; else retry hotter
             return self._finalize_chunk(generated, config, chunk_time_offset)
+
+        sk, sv = kwhisper.init_self_cache(cfg, 1, cache_len,
+                                          self.params["embed"].dtype)
 
         # streaming path: per-token host sync for the callback
         tok, sk, sv = self._prefill(self.params, jnp.asarray([prompt], jnp.int32),

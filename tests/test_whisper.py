@@ -234,3 +234,56 @@ class TestTranscribePipeline:
         result = t.transcribe_file(wav)
         assert isinstance(result.text, str)
         assert result.duration == pytest.approx(0.5, abs=0.01)
+
+
+class TestTemperatureFallback:
+    """OpenAI-style quality loop (VERDICT item 8): degenerate chunks retry at
+    increasing temperature; off by default for reference parity."""
+
+    def test_compression_ratio_flags_repetition(self):
+        from kjarni_tpu.models.whisper_transcriber import compression_ratio
+        degenerate = "the cat " * 60
+        normal = ("the quick brown fox jumps over the lazy dog while the "
+                  "violinist tuned a reluctant cello in the damp courtyard")
+        assert compression_ratio(degenerate) > 2.4
+        assert compression_ratio(normal) <= 2.4
+        assert compression_ratio("") == 0.0
+
+    def test_fallback_disabled_matches_greedy(self, tmp_path):
+        whisper_checkpoint(tmp_path, seed=6)
+        from helpers import build_word_tokenizer
+        build_word_tokenizer(tmp_path / "tokenizer.json", bert_style=False)
+        wm = WhisperModel(tmp_path)
+        audio = create_sine_wave(330.0, 1.0, 16000)
+        base = WhisperTranscriberConfig(max_tokens_per_chunk=4)
+        off = WhisperTranscriberConfig(max_tokens_per_chunk=4,
+                                       temperature_fallback=False)
+        assert wm.transcribe(audio, base)[0] == wm.transcribe(audio, off)[0]
+
+    def test_fallback_retries_until_accept_or_exhausted(self, tmp_path):
+        whisper_checkpoint(tmp_path, seed=7)
+        from helpers import build_word_tokenizer
+        build_word_tokenizer(tmp_path / "tokenizer.json", bert_style=False)
+        wm = WhisperModel(tmp_path)
+        audio = create_sine_wave(330.0, 1.0, 16000)
+        # impossible acceptance bar -> walks the whole temperature ladder
+        # (synthetic stand-in for a repetition loop) and still returns
+        cfg = WhisperTranscriberConfig(
+            max_tokens_per_chunk=4, temperature_fallback=True,
+            temperatures=(0.0, 0.5, 1.0),
+            compression_ratio_threshold=-1.0, logprob_threshold=1e9)
+        text, segs = wm.transcribe(audio, cfg)
+        assert isinstance(text, str)
+
+    def test_fallback_accepts_greedy_when_healthy(self, tmp_path):
+        whisper_checkpoint(tmp_path, seed=8)
+        from helpers import build_word_tokenizer
+        build_word_tokenizer(tmp_path / "tokenizer.json", bert_style=False)
+        wm = WhisperModel(tmp_path)
+        audio = create_sine_wave(330.0, 1.0, 16000)
+        # permissive thresholds: temperature 0 accepted -> identical to greedy
+        on = WhisperTranscriberConfig(
+            max_tokens_per_chunk=4, temperature_fallback=True,
+            compression_ratio_threshold=1e9, logprob_threshold=-1e9)
+        base = WhisperTranscriberConfig(max_tokens_per_chunk=4)
+        assert wm.transcribe(audio, on)[0] == wm.transcribe(audio, base)[0]
