@@ -167,16 +167,35 @@ def _dispatch(obj: Any, method: str, a: dict) -> Any:
     raise ValueError(f"unknown method '{method}' for {kind}")
 
 
+# cancel tokens (kjarni-ffi/src/callback.rs:52 CancellationToken): host
+# languages create one, pass it to a stream, and may cancel from any thread
+def cancel_token_new() -> int:
+    from ..core.cancellation import CancellationToken
+    return _register(CancellationToken())
+
+
+def cancel_token_cancel(handle: int) -> None:
+    _get(handle).cancel()
+
+
+def cancel_token_is_cancelled(handle: int) -> bool:
+    return bool(_get(handle).is_cancelled)
+
+
 # streaming (kjarni-ffi callback.rs analogue): start a stream, pull tokens
-def stream_start(handle: int, method: str, args_json: str) -> None:
+def stream_start(handle: int, method: str, args_json: str,
+                 cancel_handle: int = 0) -> None:
     obj = _get(handle)
     args = json.loads(args_json) if args_json else {}
     kind = type(obj).__name__
+    cancellation = _get(cancel_handle) if cancel_handle else None
     if kind == "Chat" and method == "stream":
-        _STREAMS[handle] = iter(obj.stream(args["message"]))
+        _STREAMS[handle] = iter(obj.stream(args["message"],
+                                           cancellation=cancellation))
     elif kind == "Generator" and method == "generate_stream":
         kw = {k: v for k, v in args.items() if k != "prompt"}
-        _STREAMS[handle] = iter(obj.generate_stream(args["prompt"], **kw))
+        _STREAMS[handle] = iter(obj.generate_stream(
+            args["prompt"], cancellation=cancellation, **kw))
     else:
         raise ValueError(f"no stream '{method}' for {kind}")
 

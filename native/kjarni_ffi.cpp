@@ -19,6 +19,10 @@
 
 #define KJARNI_API extern "C" __attribute__((visibility("default")))
 
+// keep in sync with native/kjarni.h
+extern "C" typedef int (*kjarni_token_callback)(const char* token,
+                                                void* user_data);
+
 static thread_local std::string g_last_error;
 static std::mutex g_init_mutex;
 static bool g_initialized = false;
@@ -159,20 +163,27 @@ KJARNI_API void kjarni_string_free(char* s) { free(s); }
 // streaming (kjarni-ffi/src/callback.rs): pull-based token stream
 // ---------------------------------------------------------------------------
 
-KJARNI_API int kjarni_stream_start(long long handle, const char* method,
-                                   const char* json_args) {
+KJARNI_API int kjarni_stream_start_cancellable(long long handle,
+                                               const char* method,
+                                               const char* json_args,
+                                               long long cancel_token) {
   if (!g_initialized) {
     set_error("kjarni_init() has not been called");
     return -1;
   }
   GilGuard gil;
-  PyObject* args =
-      Py_BuildValue("(Lss)", handle, method, json_args ? json_args : "{}");
+  PyObject* args = Py_BuildValue("(LssL)", handle, method,
+                                 json_args ? json_args : "{}", cancel_token);
   PyObject* r = bridge_call("stream_start", args);
   Py_DECREF(args);
   if (!r) return -1;
   Py_DECREF(r);
   return 0;
+}
+
+KJARNI_API int kjarni_stream_start(long long handle, const char* method,
+                                   const char* json_args) {
+  return kjarni_stream_start_cancellable(handle, method, json_args, 0);
 }
 
 // Next token text (malloc'd), or null at end-of-stream / error.
@@ -200,6 +211,103 @@ KJARNI_API void kjarni_stream_cancel(long long handle) {
   PyObject* r = bridge_call("stream_cancel", args);
   Py_DECREF(args);
   Py_XDECREF(r);
+}
+
+// ---------------------------------------------------------------------------
+// cancel tokens + push-callback streaming (kjarni-ffi/src/callback.rs:52-86)
+// ---------------------------------------------------------------------------
+
+KJARNI_API long long kjarni_cancel_token_new(void) {
+  if (!g_initialized) {
+    set_error("kjarni_init() has not been called");
+    return 0;
+  }
+  GilGuard gil;
+  PyObject* r = bridge_call("cancel_token_new", nullptr);
+  if (!r) return 0;
+  long long h = PyLong_AsLongLong(r);
+  Py_DECREF(r);
+  return h;
+}
+
+KJARNI_API void kjarni_cancel_token_cancel(long long token) {
+  if (!g_initialized) return;
+  GilGuard gil;
+  PyObject* args = Py_BuildValue("(L)", token);
+  PyObject* r = bridge_call("cancel_token_cancel", args);
+  Py_DECREF(args);
+  if (!r) PyErr_Clear();
+  Py_XDECREF(r);
+}
+
+KJARNI_API int kjarni_cancel_token_is_cancelled(long long token) {
+  if (!g_initialized) return 0;
+  GilGuard gil;
+  PyObject* args = Py_BuildValue("(L)", token);
+  PyObject* r = bridge_call("cancel_token_is_cancelled", args);
+  Py_DECREF(args);
+  if (!r) return 0;
+  int v = PyObject_IsTrue(r);
+  Py_DECREF(r);
+  return v == 1 ? 1 : 0;
+}
+
+KJARNI_API void kjarni_cancel_token_free(long long token) {
+  kjarni_free(token);  // cancel tokens live in the same handle table
+}
+
+KJARNI_API int kjarni_stream_with_callback(long long handle,
+                                           const char* method,
+                                           const char* json_args,
+                                           kjarni_token_callback callback,
+                                           void* user_data,
+                                           long long cancel_token) {
+  if (!g_initialized) {
+    set_error("kjarni_init() has not been called");
+    return -1;
+  }
+  if (!callback) {
+    set_error("null callback");
+    return -1;
+  }
+  {
+    GilGuard gil;
+    PyObject* args = Py_BuildValue("(LssL)", handle, method,
+                                   json_args ? json_args : "{}", cancel_token);
+    PyObject* r = bridge_call("stream_start", args);
+    Py_DECREF(args);
+    if (!r) return -1;
+    Py_DECREF(r);
+  }
+  int delivered = 0;
+  for (;;) {
+    char* tok = nullptr;
+    {
+      GilGuard gil;
+      PyObject* args = Py_BuildValue("(L)", handle);
+      PyObject* r = bridge_call("stream_next", args);
+      Py_DECREF(args);
+      if (!r) return -1;  // stream raised; last_error is set
+      if (r == Py_None) {
+        Py_DECREF(r);
+        break;  // end of stream
+      }
+      const char* c = PyUnicode_AsUTF8(r);
+      tok = c ? strdup(c) : nullptr;
+      Py_DECREF(r);
+    }
+    if (!tok) break;
+    // callback runs without the GIL: it may block or call back into kjarni
+    int stop = callback(tok, user_data);
+    free(tok);
+    ++delivered;
+    if (stop) {
+      if (cancel_token) kjarni_cancel_token_cancel(cancel_token);
+      kjarni_stream_cancel(handle);
+      break;
+    }
+  }
+  return delivered;
 }
 
 // ---------------------------------------------------------------------------
