@@ -320,6 +320,23 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_export_browser(args) -> int:
+    from ..export.browser import export_browser_model
+    from ..tasks.common import DownloadPolicy, resolve_model_dir
+    model_dir, _ = resolve_model_dir(args.model, None, DownloadPolicy.ALLOW,
+                                     args.quiet)
+    manifest = export_browser_model(model_dir, args.out)
+    info = {"out": args.out, "tensors": len(manifest["tensors"]),
+            "weights_bytes": manifest["weights_bytes"]}
+    if args.format == "json":
+        print(json.dumps(info))
+    else:
+        print(f"exported {info['tensors']} tensors "
+              f"({info['weights_bytes'] / 1e6:.1f} MB) to {args.out}\n"
+              f"serve web/ + {args.out} statically and use web/kjarni.js")
+    return 0
+
+
 def cmd_search(args) -> int:
     from ..tasks.searcher import Searcher
     searcher = Searcher(args.model, reranker_model=args.rerank_model,
@@ -471,6 +488,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="per-request deadline in seconds; a wedged device "
                          "returns 503 instead of hanging")
     sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("export-browser",
+                        help="export an encoder to a browser bundle "
+                             "(manifest.json + weights.bin for web/kjarni.js)")
+    sp.add_argument("model", help="registry name or local model dir")
+    sp.add_argument("-o", "--out", required=True, help="output directory")
+    sp.add_argument("--format", choices=["text", "json"], default="text")
+    sp.add_argument("--quiet", "-q", action="store_true")
+    sp.add_argument("--verbose", "-v", action="count", default=0)
+    sp.set_defaults(fn=cmd_export_browser)
 
     sp = sub.add_parser("search", help="search an index")
     sp.add_argument("name")
