@@ -175,12 +175,17 @@ class DecoderLM:
             self.family is kllama
             and jax.devices()[0].platform != "cpu")
 
-        @partial(jax.jit, donate_argnums=(1, 2), static_argnames=("use_flash",))
+        @partial(jax.jit, donate_argnums=(1, 2),
+                 static_argnames=("use_flash", "kv_bucket"))
         def _prefill(params, ck, cv, ids, last_idx, pos_start=0,
-                     use_flash=False):
-            if use_flash:  # flash attends only fresh K/V: pos_start==0 only
-                logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0, last_idx,
-                                     use_flash=True)
+                     use_flash=False, kv_bucket=None):
+            if use_flash:
+                # kv_bucket <= S: from-zero prefill over the fresh block;
+                # kv_bucket > S: cache-reuse prefill — flash attends the
+                # bucket-sliced cache at dynamic q_offset (prompt caching)
+                logits, ck, cv = fwd(params, cfg, ids, ck, cv, pos_start,
+                                     last_idx, use_flash=True,
+                                     kv_bucket=kv_bucket)
             else:
                 logits, ck, cv = fwd(params, cfg, ids, ck, cv, pos_start,
                                      last_idx)
@@ -302,11 +307,23 @@ class DecoderLM:
         bucket = seq_bucket(len(suffix), self.max_context - common)
         padded = np.zeros((1, bucket), dtype=np.int32)
         padded[0, :len(suffix)] = suffix
-        use_flash = (self._flash_ok and common == 0
-                     and bucket >= self._flash_min_seq)
+        use_flash = self._flash_ok and bucket >= self._flash_min_seq
+        kv_bucket = None
+        if use_flash and common > 0:
+            # cache-reuse prefill: the XLA materialized path WINS at moderate
+            # shapes (flash = 0.90x at best, chunked_prefill_bench.py on
+            # v5e); flash becomes mandatory only when the f32 score matrix
+            # itself would blow HBM. Gate on score bytes > 2 GB.
+            score_bytes = 4 * self.config.num_heads * bucket * (common + bucket)
+            use_flash = score_bytes > 2_000_000_000
+        if use_flash:
+            # static cache-slice bound covering prefix + fresh block,
+            # rounded to the flash block size (one compile per bucket pair)
+            kv_bucket = min(-(-(common + bucket) // 128) * 128,
+                            self.max_context)
         logits, ck, cv = self._prefill(
             self.params, ck, cv, jnp.asarray(padded), len(suffix) - 1,
-            jnp.int32(common), use_flash=use_flash)
+            jnp.int32(common), use_flash=use_flash, kv_bucket=kv_bucket)
         self.last_prefill_tokens = len(suffix)  # observability for tests/stats
         return logits, ck, cv, common
 

@@ -317,12 +317,15 @@ def _cache_write(cache, new: jnp.ndarray, pos_start, act_dtype):
 def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
                cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start,
                use_flash: bool = False, positions: Optional[jnp.ndarray] = None,
-               pad_mask: Optional[jnp.ndarray] = None):
+               pad_mask: Optional[jnp.ndarray] = None,
+               kv_bucket: Optional[int] = None):
     """Embed -> scanned layer stack -> final norm. Shared by prefill/decode.
 
-    `use_flash` (static) routes attention through the Pallas flash kernel —
-    valid only for a from-zero prefill (pos_start==0, no sliding window),
-    where attending over the fresh K/V block equals attending over the cache.
+    `use_flash` (static) routes attention through the Pallas flash kernel.
+    From-zero prefills attend the fresh K/V block; cache-reuse prefills
+    (pos_start > 0, multi-turn prompt caching) attend the cache sliced to
+    the static `kv_bucket` with the kernel's dynamic q_offset/kv_len — no
+    [S, T] score materialization either way.
 
     Batched generation with ragged prompts passes `positions` [B, S] (per-row
     absolute RoPE positions under LEFT padding; cache slots stay shared) and
@@ -378,8 +381,22 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
         vc, v_full = _cache_write(vc, v, pos_start, h.dtype)
         if use_flash:
             from ..ops.pallas.flash_attention import flash_attention
-            ctx = merge_heads(flash_attention(q, k, v, causal=True,
-                                              window=cfg.sliding_window))
+            kb = kv_bucket if kv_bucket is not None else S
+            if kb <= S:
+                # from-zero prefill: fresh block IS the whole valid cache
+                ctx = merge_heads(flash_attention(
+                    q, k, v, causal=True, window=cfg.sliding_window))
+            else:
+                # cache-reuse (chunked) prefill: 256/512 blocks measured 1.6x
+                # over the 128/128 defaults at this shape (v5e, llama-1B,
+                # scripts/chunked_prefill_bench.py); 512/1024 is
+                # compile-pathological on the remote compiler — do not raise
+                ks = jax.lax.slice_in_dim(k_full, 0, kb, axis=2)
+                vs = jax.lax.slice_in_dim(v_full, 0, kb, axis=2)
+                ctx = merge_heads(flash_attention(
+                    q, ks, vs, causal=True, window=cfg.sliding_window,
+                    q_offset=pos_start, kv_len=pos_start + S,
+                    block_q=256, block_k=512))
         else:
             ctx = merge_heads(attention(q, k_full, v_full, bias))
         h = h + _mm(ctx, lp["o"])
@@ -398,7 +415,8 @@ def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
             cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start: jnp.ndarray,
             last_idx: Optional[jnp.ndarray] = None, use_flash: bool = False,
             positions: Optional[jnp.ndarray] = None,
-            pad_mask: Optional[jnp.ndarray] = None):
+            pad_mask: Optional[jnp.ndarray] = None,
+            kv_bucket: Optional[int] = None):
     """One decoder pass, shared by prefill and decode.
 
     ids: [B, S] tokens whose absolute positions are pos_start + arange(S).
@@ -410,7 +428,8 @@ def forward(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     attended — decode steps overwrite slot p before any query reaches p.
     """
     x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v,
-                                     pos_start, use_flash, positions, pad_mask)
+                                     pos_start, use_flash, positions, pad_mask,
+                                     kv_bucket)
     if last_idx is None:
         last_idx = ids.shape[1] - 1
     last = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)
