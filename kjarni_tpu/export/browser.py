@@ -41,29 +41,8 @@ def _flatten(prefix: str, tree) -> list[tuple[str, np.ndarray]]:
     return out
 
 
-def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
-    """Export a BERT-family encoder checkpoint to a browser bundle.
-
-    Returns the manifest dict. Raises InvalidConfigError for non-encoder
-    models (the browser engine implements the encoder forward only, like
-    kjarni-wasm).
-    """
-    model_dir = Path(model_dir)
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
-
-    hf_cfg = json.loads((model_dir / "config.json").read_text())
-    cfg = kbert.BertConfig.from_hf(hf_cfg)
-    if cfg.flavor not in ("bert", "distilbert", "roberta", "mpnet"):
-        raise InvalidConfigError(
-            f"browser export supports BERT-family encoders, not '{cfg.flavor}'")
-    if cfg.flavor == "mpnet":
-        raise InvalidConfigError(
-            "browser export does not implement MPNet relative attention yet")
-
-    ws = ModelWeights(model_dir)
-    params = kbert.load_params(ws, cfg, dtype=np.float32)
-
+def _write_bundle(out_dir: Path, model_dir: Path, kind: str, config: dict,
+                  params: dict) -> dict:
     tensors = _flatten("", params)
     records = []
     offset = 0
@@ -77,20 +56,8 @@ def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
 
     manifest = {
         "format": "kjarni-browser-v1",
-        "config": {
-            "flavor": cfg.flavor,
-            "vocab_size": cfg.vocab_size,
-            "hidden_size": cfg.hidden_size,
-            "num_layers": cfg.num_layers,
-            "num_heads": cfg.num_heads,
-            "intermediate_size": cfg.intermediate_size,
-            "max_position_embeddings": cfg.max_position_embeddings,
-            "type_vocab_size": cfg.type_vocab_size,
-            "pad_token_id": cfg.pad_token_id,
-            "layer_norm_eps": cfg.layer_norm_eps,
-            "activation": cfg.activation,
-            "position_offset": cfg.position_offset,
-        },
+        "kind": kind,
+        "config": config,
         "tensors": records,
         "weights_bytes": offset,
     }
@@ -102,6 +69,65 @@ def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
     if tok.exists():
         shutil.copy(tok, out_dir / "tokenizer.json")
     return manifest
+
+
+def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
+    """Export a BERT-family encoder OR a GPT-2 decoder to a browser bundle.
+
+    Returns the manifest dict. Encoders drive KjarniModel (embeddings/index,
+    kjarni-wasm's main module); GPT-2 drives KjarniGPT (the WasmGPT
+    counterpart, kjarni-models/src/wasm/mod.rs:47).
+    """
+    model_dir = Path(model_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    hf_cfg = json.loads((model_dir / "config.json").read_text())
+    if hf_cfg.get("model_type") == "gpt2":
+        from ..models import gpt2 as kgpt2
+        cfg = kgpt2.Gpt2Config.from_hf(hf_cfg)
+        ws = ModelWeights(model_dir)
+        params = kgpt2.load_params(ws, cfg, dtype=np.float32)
+        params = dict(params)
+        params.pop("lm_head")  # tied to embed; JS reuses wte
+        config = {
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "num_layers": cfg.num_layers,
+            "num_heads": cfg.num_heads,
+            "max_seq_len": cfg.max_seq_len,
+            "layer_norm_eps": cfg.layer_norm_eps,
+            "eos_token_id": (cfg.eos_token_ids[0]
+                             if cfg.eos_token_ids else None),
+        }
+        return _write_bundle(out_dir, model_dir, "gpt2", config, params)
+
+    cfg = kbert.BertConfig.from_hf(hf_cfg)
+    if cfg.flavor not in ("bert", "distilbert", "roberta", "mpnet"):
+        raise InvalidConfigError(
+            f"browser export supports BERT-family encoders and GPT-2, "
+            f"not '{cfg.flavor}'")
+    if cfg.flavor == "mpnet":
+        raise InvalidConfigError(
+            "browser export does not implement MPNet relative attention yet")
+
+    ws = ModelWeights(model_dir)
+    params = kbert.load_params(ws, cfg, dtype=np.float32)
+    config = {
+        "flavor": cfg.flavor,
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "num_layers": cfg.num_layers,
+        "num_heads": cfg.num_heads,
+        "intermediate_size": cfg.intermediate_size,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "type_vocab_size": cfg.type_vocab_size,
+        "pad_token_id": cfg.pad_token_id,
+        "layer_norm_eps": cfg.layer_norm_eps,
+        "activation": cfg.activation,
+        "position_offset": cfg.position_offset,
+    }
+    return _write_bundle(out_dir, model_dir, "encoder", config, params)
 
 
 def load_browser_bundle(out_dir: Path) -> tuple[dict, dict]:

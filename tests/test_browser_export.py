@@ -59,9 +59,12 @@ class TestExportFormat:
         out = json.loads(capsys.readouterr().out.strip())
         assert out["tensors"] > 0
 
-    def test_rejects_decoder(self, tmp_path):
+    def test_rejects_unsupported_arch(self, tmp_path):
         from kjarni_tpu.core.errors import InvalidConfigError
-        (tmp_path / "config.json").write_text(json.dumps({"model_type": "gpt2"}))
+        (tmp_path / "config.json").write_text(json.dumps(
+            {"model_type": "llama", "vocab_size": 8, "hidden_size": 8,
+             "num_hidden_layers": 1, "num_attention_heads": 1,
+             "intermediate_size": 8, "max_position_embeddings": 8}))
         with pytest.raises(InvalidConfigError):
             export_browser_model(tmp_path, tmp_path / "out")
 
@@ -232,4 +235,170 @@ class TestJsAlgorithmParity:
             # mirror adds CLS/SEP only when present in vocab AND the HF
             # tokenizer has a post-processor; this one has none, so strip
             got = [i for i in got if i not in (vocab["[CLS]"], vocab["[SEP]"])]
+            assert got == want, text
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 bundle (WasmGPT counterpart) — numpy mirror of KjarniGPT
+# ---------------------------------------------------------------------------
+
+def js_gpt_generate(out_dir: Path, prompt_ids: list[int],
+                    max_new: int) -> list[int]:
+    """Mirror of web/kjarni.js KjarniGPT.forwardStep/generate."""
+    manifest, t = load_browser_bundle(out_dir)
+    cfg = manifest["config"]
+    H, nh, L = cfg["hidden_size"], cfg["num_heads"], cfg["num_layers"]
+    hd = H // nh
+    eps = cfg["layer_norm_eps"]
+
+    def layer_norm(x, w, b):
+        m = x.mean(-1, keepdims=True)
+        v = x.var(-1, keepdims=True)
+        return (x - m) / np.sqrt(v + eps) * w + b
+
+    def gelu_tanh(x):
+        c = np.sqrt(2 / np.pi)
+        return 0.5 * x * (1 + np.tanh(c * (x + 0.044715 * x ** 3)))
+
+    ks = [np.zeros((0, H), np.float32) for _ in range(L)]
+    vs = [np.zeros((0, H), np.float32) for _ in range(L)]
+    state = {"len": 0}
+
+    def step(ids):
+        S = len(ids)
+        past = state["len"]
+        x = t["embed"][ids] + t["wpe"][past:past + S]
+        for l in range(L):
+            hn = layer_norm(x, t["layers.ln1_w"][l], t["layers.ln1_b"][l])
+            qkv = hn @ t["layers.c_attn_w"][l] + t["layers.c_attn_b"][l]
+            q, k, v = np.split(qkv, 3, axis=-1)
+            ks[l] = np.concatenate([ks[l], k])
+            vs[l] = np.concatenate([vs[l], v])
+            ctx = np.zeros_like(x)
+            for h in range(nh):
+                sl = slice(h * hd, (h + 1) * hd)
+                for s in range(S):
+                    limit = past + s + 1
+                    sc = (ks[l][:limit, sl] @ q[s, sl]) / np.sqrt(hd)
+                    sc = np.exp(sc - sc.max())
+                    sc /= sc.sum()
+                    ctx[s, sl] = sc @ vs[l][:limit, sl]
+            x = x + ctx @ t["layers.c_proj_w"][l] + t["layers.c_proj_b"][l]
+            hn = layer_norm(x, t["layers.ln2_w"][l], t["layers.ln2_b"][l])
+            mid = gelu_tanh(hn @ t["layers.fc_w"][l] + t["layers.fc_b"][l])
+            x = x + mid @ t["layers.mlp_proj_w"][l] + t["layers.mlp_proj_b"][l]
+        state["len"] = past + S
+        last = layer_norm(x[-1:], t["lnf_w"], t["lnf_b"])[0]
+        return last @ t["embed"].T
+
+    logits = step(prompt_ids)
+    out = []
+    for _ in range(max_new):
+        nxt = int(np.argmax(logits))
+        if cfg.get("eos_token_id") is not None and nxt == cfg["eos_token_id"]:
+            break
+        out.append(nxt)
+        logits = step([nxt])
+    return out
+
+
+class TestGptBundle:
+    @pytest.fixture(scope="class")
+    def gpt_bundle(self, tmp_path_factory):
+        import torch
+        from helpers import build_word_tokenizer, save_torch_model
+        from transformers import GPT2Config, GPT2LMHeadModel
+        d = tmp_path_factory.mktemp("web_gpt")
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = GPT2Config(vocab_size=len(vm), n_embd=32, n_layer=2,
+                            n_head=4, n_positions=64, bos_token_id=2,
+                            eos_token_id=3)
+        torch.manual_seed(17)
+        save_torch_model(d, GPT2LMHeadModel(config).eval(), config)
+        out = tmp_path_factory.mktemp("web_gpt_dist")
+        manifest = export_browser_model(d, out)
+        return d, out, manifest
+
+    def test_gpt_manifest(self, gpt_bundle):
+        _, out, manifest = gpt_bundle
+        assert manifest["kind"] == "gpt2"
+        _, tensors = load_browser_bundle(out)
+        assert "layers.c_attn_w" in tensors
+        assert "lm_head" not in tensors  # tied; JS reuses embed
+
+    def test_gpt_greedy_matches_production(self, gpt_bundle):
+        d, out, _ = gpt_bundle
+        from kjarni_tpu.models.decoder_lm import DecoderLM
+        from kjarni_tpu.generate.sampling import GenerationConfig
+        lm = DecoderLM(d, max_context=64)
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=64)
+        prompt = "hello world the"
+        want = [st.id for st in lm.generate_stream(prompt, config=cfg)]
+        ids = lm.tokenizer.encode(prompt, add_special_tokens=False)
+        got = js_gpt_generate(out, ids, 8)
+        assert got == want
+
+
+class TestBpeMirror:
+    """The JS byte-level BPE (mirrored here) matches the HF tokenizers lib."""
+
+    def js_bpe_encode(self, spec: dict, text: str) -> list[int]:
+        import regex
+        model = spec["model"]
+        vocab = model["vocab"]
+        ranks = {}
+        for i, m in enumerate(model["merges"]):
+            pair = " ".join(m) if isinstance(m, list) else m
+            ranks[pair] = i
+        # bytes_to_unicode (GPT-2 standard)
+        bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+        cs = bs[:]
+        n = 0
+        for b in range(256):
+            if b not in bs:
+                bs.append(b)
+                cs.append(256 + n)
+                n += 1
+        enc = {b: chr(c) for b, c in zip(bs, cs)}
+        pat = regex.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+            r"|\s+(?!\S)|\s+")
+        ids = []
+        for m in pat.findall(text):
+            word = "".join(enc[b] for b in m.encode("utf-8"))
+            parts = list(word)
+            while len(parts) > 1:
+                best, best_rank = None, float("inf")
+                for i in range(len(parts) - 1):
+                    r = ranks.get(parts[i] + " " + parts[i + 1])
+                    if r is not None and r < best_rank:
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                parts = (parts[:best] + [parts[best] + parts[best + 1]]
+                         + parts[best + 2:])
+            for tok in parts:
+                if tok in vocab:
+                    ids.append(vocab[tok])
+        return ids
+
+    def test_matches_hf_bpe(self, tmp_path):
+        from tokenizers import Tokenizer, models, pre_tokenizers, decoders
+        # tiny byte-level BPE trained on a few strings
+        tk = Tokenizer(models.BPE(unk_token=None))
+        tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tk.decoder = decoders.ByteLevel()
+        from tokenizers.trainers import BpeTrainer
+        trainer = BpeTrainer(
+            vocab_size=300, special_tokens=[],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet())
+        tk.train_from_iterator(
+            ["hello world", "the doctor went home", "hello there doctor",
+             "worlds apart", "1234 numbers!"], trainer)
+        tk.save(str(tmp_path / "bpe.json"))
+        spec = json.loads((tmp_path / "bpe.json").read_text())
+        for text in ("hello world", "the doctor", "hello, world!",
+                     "numbers 1234", "unseen zebra words"):
+            want = tk.encode(text).ids
+            got = self.js_bpe_encode(spec, text)
             assert got == want, text

@@ -102,6 +102,14 @@ class KjarniTokenizer {
     if (this.sepId !== undefined) out.push(this.sepId);
     return out;
   }
+
+  decode(ids) {
+    if (!this.inv) {
+      this.inv = {};
+      for (const [t, i] of Object.entries(this.vocab)) this.inv[i] = t;
+    }
+    return ids.map((i) => this.inv[i] ?? this.unk).join(" ");
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -353,6 +361,261 @@ class KjarniIndex {
   }
 }
 
+// ---------------------------------------------------------------------------
+// GPT-2 byte-level BPE tokenizer (reads HF tokenizer.json, model.type "BPE")
+// ---------------------------------------------------------------------------
+
+function bytesToUnicode() {
+  // GPT-2's reversible byte<->unicode table
+  const bs = [];
+  for (let i = 33; i <= 126; i++) bs.push(i);
+  for (let i = 161; i <= 172; i++) bs.push(i);
+  for (let i = 174; i <= 255; i++) bs.push(i);
+  const cs = bs.slice();
+  let n = 0;
+  for (let b = 0; b < 256; b++) {
+    if (!bs.includes(b)) {
+      bs.push(b);
+      cs.push(256 + n);
+      n += 1;
+    }
+  }
+  const enc = {};
+  const dec = {};
+  for (let i = 0; i < bs.length; i++) {
+    enc[bs[i]] = String.fromCharCode(cs[i]);
+    dec[String.fromCharCode(cs[i])] = bs[i];
+  }
+  return { enc, dec };
+}
+
+const GPT2_SPLIT =
+  /'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+/gu;
+
+class KjarniBpeTokenizer {
+  constructor(tk) {
+    const model = tk.model || {};
+    this.vocab = model.vocab || {};
+    this.decoder = {};
+    for (const [t, i] of Object.entries(this.vocab)) this.decoder[i] = t;
+    this.ranks = {};
+    (model.merges || []).forEach((m, i) => {
+      const pair = Array.isArray(m) ? m.join(" ") : m;
+      this.ranks[pair] = i;
+    });
+    const { enc, dec } = bytesToUnicode();
+    this.byteEnc = enc;
+    this.byteDec = dec;
+    this.cache = {};
+  }
+
+  bpe(word) {
+    if (this.cache[word] !== undefined) return this.cache[word];
+    let parts = Array.from(word);
+    while (parts.length > 1) {
+      let best = null;
+      let bestRank = Infinity;
+      for (let i = 0; i < parts.length - 1; i++) {
+        const r = this.ranks[parts[i] + " " + parts[i + 1]];
+        if (r !== undefined && r < bestRank) {
+          bestRank = r;
+          best = i;
+        }
+      }
+      if (best === null) break;
+      parts = parts
+        .slice(0, best)
+        .concat([parts[best] + parts[best + 1]])
+        .concat(parts.slice(best + 2));
+    }
+    this.cache[word] = parts;
+    return parts;
+  }
+
+  encode(text) {
+    const ids = [];
+    const utf8 = new TextEncoder();
+    for (const m of text.matchAll(GPT2_SPLIT)) {
+      let mapped = "";
+      for (const b of utf8.encode(m[0])) mapped += this.byteEnc[b];
+      for (const tok of this.bpe(mapped)) {
+        if (this.vocab[tok] !== undefined) ids.push(this.vocab[tok]);
+      }
+    }
+    return ids;
+  }
+
+  decode(ids) {
+    let text = "";
+    for (const id of ids) {
+      const tok = this.decoder[id];
+      if (tok !== undefined) text += tok;
+    }
+    const bytes = [];
+    for (const ch of text) {
+      const b = this.byteDec[ch];
+      if (b !== undefined) bytes.push(b);
+    }
+    return new TextDecoder().decode(new Uint8Array(bytes));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// GPT-2 decoder (WasmGPT counterpart, kjarni-models/src/wasm/mod.rs:47)
+// ---------------------------------------------------------------------------
+
+class KjarniGPT {
+  constructor(manifest, weightsBuf, tokenizerJson) {
+    if (manifest.kind !== "gpt2") {
+      throw new Error("bundle kind is not gpt2");
+    }
+    this.cfg = manifest.config;
+    this.t = {};
+    for (const rec of manifest.tensors) {
+      this.t[rec.name] = new Float32Array(weightsBuf, rec.offset, rec.size);
+    }
+    const model = (tokenizerJson.model || {});
+    this.tokenizer = model.type === "BPE"
+      ? new KjarniBpeTokenizer(tokenizerJson)
+      : new KjarniTokenizer(tokenizerJson);
+  }
+
+  static async load(baseUrl) {
+    const strip = baseUrl.endsWith("/") ? baseUrl : baseUrl + "/";
+    const [manifest, weights, tok] = await Promise.all([
+      fetch(strip + "manifest.json").then((r) => r.json()),
+      fetch(strip + "weights.bin").then((r) => r.arrayBuffer()),
+      fetch(strip + "tokenizer.json").then((r) => r.json()),
+    ]);
+    return new KjarniGPT(manifest, weights, tok);
+  }
+
+  static fromBuffers(manifestJson, weightsArrayBuffer, tokenizerJson) {
+    return new KjarniGPT(manifestJson, weightsArrayBuffer, tokenizerJson);
+  }
+
+  newCache() {
+    return { k: [], v: [], len: 0 }; // per-layer arrays of [H*D] rows
+  }
+
+  // run `ids` through the decoder starting at cache.len; returns last logits
+  forwardStep(ids, cache) {
+    const cfg = this.cfg;
+    const H = cfg.hidden_size;
+    const nh = cfg.num_heads;
+    const hd = H / nh;
+    const L = cfg.num_layers;
+    const eps = cfg.layer_norm_eps;
+    const t = this.t;
+    const S = ids.length;
+    const past = cache.len;
+
+    let x = new Float32Array(S * H);
+    for (let s = 0; s < S; s++) {
+      for (let i = 0; i < H; i++) {
+        x[s * H + i] = t["embed"][ids[s] * H + i] +
+          t["wpe"][(past + s) * H + i];
+      }
+    }
+
+    const sub = (name, l, per) => t[name].subarray(l * per, (l + 1) * per);
+    for (let l = 0; l < L; l++) {
+      if (cache.k.length <= l) {
+        cache.k.push([]);
+        cache.v.push([]);
+      }
+      const ln1w = sub("layers.ln1_w", l, H);
+      const ln1b = sub("layers.ln1_b", l, H);
+      const hn = new Float32Array(x);
+      layerNorm(hn, S, H, ln1w, ln1b, eps);
+      const qkv = matmul(hn, S, H, sub("layers.c_attn_w", l, H * 3 * H),
+                         3 * H, sub("layers.c_attn_b", l, 3 * H));
+      // append this step's K/V rows to the cache
+      for (let s = 0; s < S; s++) {
+        cache.k[l].push(qkv.slice(s * 3 * H + H, s * 3 * H + 2 * H));
+        cache.v[l].push(qkv.slice(s * 3 * H + 2 * H, s * 3 * H + 3 * H));
+      }
+      const T = past + S;
+      const ctx = new Float32Array(S * H);
+      const scale = 1 / Math.sqrt(hd);
+      for (let head = 0; head < nh; head++) {
+        const off = head * hd;
+        for (let s = 0; s < S; s++) {
+          const limit = past + s + 1; // causal
+          const scores = new Float32Array(limit);
+          for (let j = 0; j < limit; j++) {
+            let dot = 0;
+            const krow = cache.k[l][j];
+            for (let d = 0; d < hd; d++) {
+              dot += qkv[s * 3 * H + off + d] * krow[off + d];
+            }
+            scores[j] = dot * scale;
+          }
+          softmaxRows(scores, 1, limit);
+          for (let d = 0; d < hd; d++) {
+            let acc = 0;
+            for (let j = 0; j < limit; j++) {
+              acc += scores[j] * cache.v[l][j][off + d];
+            }
+            ctx[s * H + off + d] = acc;
+          }
+        }
+      }
+      const attnOut = matmul(ctx, S, H, sub("layers.c_proj_w", l, H * H), H,
+                             sub("layers.c_proj_b", l, H));
+      for (let i = 0; i < S * H; i++) x[i] += attnOut[i];
+
+      const hn2 = new Float32Array(x);
+      layerNorm(hn2, S, H, sub("layers.ln2_w", l, H),
+                sub("layers.ln2_b", l, H), eps);
+      const I = t["layers.fc_w"].length / (L * H);
+      const mid = matmul(hn2, S, H, sub("layers.fc_w", l, H * I), I,
+                         sub("layers.fc_b", l, I));
+      geluInplace(mid); // GPT-2 uses gelu_new (tanh) — exact here
+      const ffn = matmul(mid, S, I, sub("layers.mlp_proj_w", l, I * H), H,
+                         sub("layers.mlp_proj_b", l, H));
+      for (let i = 0; i < S * H; i++) x[i] += ffn[i];
+    }
+    cache.len = past + S;
+
+    const lnf = new Float32Array(x.subarray((S - 1) * H, S * H));
+    layerNorm(lnf, 1, H, t["lnf_w"], t["lnf_b"], eps);
+    // logits = lnf @ wte^T
+    const V = cfg.vocab_size;
+    const logits = new Float32Array(V);
+    const wte = t["embed"];
+    for (let vIdx = 0; vIdx < V; vIdx++) {
+      let dot = 0;
+      const woff = vIdx * H;
+      for (let i = 0; i < H; i++) dot += lnf[i] * wte[woff + i];
+      logits[vIdx] = dot;
+    }
+    return logits;
+  }
+
+  // Greedy generation (WasmGPT generate); onToken optional callback
+  generate(prompt, maxNewTokens, onToken) {
+    const ids = this.tokenizer.encode(prompt);
+    const cache = this.newCache();
+    let logits = this.forwardStep(ids, cache);
+    const outIds = [];
+    const eos = this.cfg.eos_token_id;
+    for (let step = 0; step < (maxNewTokens || 32); step++) {
+      let best = 0;
+      for (let i = 1; i < logits.length; i++) {
+        if (logits[i] > logits[best]) best = i;
+      }
+      if (eos !== null && best === eos) break;
+      outIds.push(best);
+      if (onToken && onToken(this.tokenizer.decode([best])) === false) break;
+      if (cache.len >= this.cfg.max_seq_len - 1) break;
+      logits = this.forwardStep([best], cache);
+    }
+    return this.tokenizer.decode(outIds);
+  }
+}
+
 if (typeof module !== "undefined" && module.exports) {
-  module.exports = { KjarniModel, KjarniIndex, KjarniTokenizer };
+  module.exports = { KjarniModel, KjarniIndex, KjarniTokenizer,
+                     KjarniBpeTokenizer, KjarniGPT };
 }
