@@ -228,3 +228,71 @@ class TestSeq2SeqSharding:
         with mesh:
             got = np.asarray(jax.jit(full)(sp))
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+class TestPipelineParallel:
+    """GPipe pipeline over the "pp" axis (parallel/pipeline.py)."""
+
+    def test_pp_forward_matches_single_device(self, tiny_llama):
+        from kjarni_tpu.models import llama as kllama
+        from kjarni_tpu.parallel.pipeline import (make_pp_mesh,
+                                                  pipeline_forward,
+                                                  pp_param_sharding)
+        from kjarni_tpu.parallel.mesh import shard_params_with
+        cfg, params = tiny_llama  # 2 layers -> pp=2, one layer per stage
+        ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, (4, 8)),
+                          dtype=jnp.int32)
+        ck, cv = kllama.init_cache(cfg, 4, 8)
+        ref, _, _ = kllama.forward_all_logits(params, cfg, ids, ck, cv, 0)
+
+        mesh = make_pp_mesh(2, pp=2)
+        sharded = shard_params_with(params, pp_param_sharding(mesh), mesh)
+        with mesh:
+            got = pipeline_forward(sharded, cfg, ids, mesh, n_micro=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_pp_more_microbatches_than_stages(self, tiny_llama):
+        from kjarni_tpu.models import llama as kllama
+        from kjarni_tpu.parallel.pipeline import (make_pp_mesh,
+                                                  pipeline_forward,
+                                                  pp_param_sharding)
+        from kjarni_tpu.parallel.mesh import shard_params_with
+        cfg, params = tiny_llama
+        ids = jnp.asarray(np.random.default_rng(4).integers(0, 256, (8, 8)),
+                          dtype=jnp.int32)
+        ck, cv = kllama.init_cache(cfg, 8, 8)
+        ref, _, _ = kllama.forward_all_logits(params, cfg, ids, ck, cv, 0)
+        mesh = make_pp_mesh(2, pp=2)
+        sharded = shard_params_with(params, pp_param_sharding(mesh), mesh)
+        with mesh:
+            got = pipeline_forward(sharded, cfg, ids, mesh, n_micro=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
+class TestSequenceParallel:
+    """Ulysses-style sp prefill (parallel/sequence.py)."""
+
+    def test_sp_forward_matches_single_device(self, tiny_llama):
+        from kjarni_tpu.models import llama as kllama
+        from kjarni_tpu.parallel.sequence import (make_sp_mesh,
+                                                  sequence_parallel_forward)
+        cfg, params = tiny_llama  # heads 8, kv 4 -> sp=4 divides both
+        ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (2, 16)),
+                          dtype=jnp.int32)
+        ck, cv = kllama.init_cache(cfg, 2, 16)
+        ref, _, _ = kllama.forward_all_logits(params, cfg, ids, ck, cv, 0)
+        mesh = make_sp_mesh(4)
+        got = sequence_parallel_forward(params, cfg, ids, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_sp_rejects_indivisible(self, tiny_llama):
+        from kjarni_tpu.parallel.sequence import (make_sp_mesh,
+                                                  sequence_parallel_forward)
+        cfg, params = tiny_llama
+        mesh = make_sp_mesh(8)  # kv heads 4 do not divide 8
+        ids = jnp.zeros((1, 16), jnp.int32)
+        with pytest.raises(ValueError):
+            sequence_parallel_forward(params, cfg, ids, mesh)
