@@ -129,3 +129,47 @@ class TestModelOverridesFlag:
         for bad in ("nopair", "=x", "k="):
             with pytest.raises(SystemExit):
                 parse_model_overrides([bad])
+
+
+class TestServeDraftModel:
+    def test_generate_with_draft_model_matches_plain(self, tmp_path):
+        """serve --draft-model: /v1/generate greedy output identical to the
+        non-speculative engine (VERDICT item 3 serve surface)."""
+        import threading, torch
+        from http.server import ThreadingHTTPServer
+        from helpers import build_word_tokenizer, save_torch_model
+        from transformers import LlamaConfig, LlamaForCausalLM
+        from kjarni_tpu.serve import _Engine, make_handler
+
+        def mk(d, seed, layers, hidden):
+            d.mkdir()
+            vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+            config = LlamaConfig(
+                vocab_size=len(vm), hidden_size=hidden,
+                intermediate_size=hidden * 2, num_hidden_layers=layers,
+                num_attention_heads=4, num_key_value_heads=2,
+                max_position_embeddings=64, bos_token_id=2, eos_token_id=3,
+                tie_word_embeddings=False)
+            torch.manual_seed(seed)
+            save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+
+        target = tmp_path / "t"
+        draft = tmp_path / "d"
+        mk(target, 95, 2, 32)
+        mk(draft, 96, 1, 32)
+
+        def run_engine(engine):
+            srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            base = f"http://127.0.0.1:{srv.server_port}"
+            code, out = post(base, "/v1/generate",
+                             {"prompt": "hello world", "max_new_tokens": 6,
+                              "preset": "greedy"})
+            srv.shutdown()
+            assert code == 200, out
+            return out["text"]
+
+        plain = run_engine(_Engine({"generate": str(target)}))
+        spec = run_engine(_Engine({"generate": str(target)},
+                                  draft_model=str(draft)))
+        assert spec == plain
