@@ -72,7 +72,9 @@ def build_llama_1b(dtype, quantize=False):
         "vocab_size": 128256, "hidden_size": 2048, "num_layers": 16,
         "num_heads": 32, "num_kv_heads": 8, "head_dim": 64,
         "intermediate_size": 8192, "max_seq_len": 4096})
-    if quantize:
+    if quantize == "int4":
+        params = kllama.quantize_params_int4(params)
+    elif quantize:
         params = kllama.quantize_params_int8(params)
     params = jax.tree.map(
         lambda x: jnp.asarray(x, jnp.bfloat16)
@@ -124,7 +126,8 @@ def bench_decode(quantize=False):
         int(tok)
         times.append(time.perf_counter() - t0)
     tps = N / (min(times) - lat)
-    name = "llama_1b_decode_int8_tok_per_sec" if quantize else         "llama_1b_decode_bf16_tok_per_sec"
+    name = (f"llama_1b_decode_{quantize}_tok_per_sec" if quantize
+            else "llama_1b_decode_bf16_tok_per_sec")
     print(json.dumps({"metric": name, "value": round(tps, 1),
                       "unit": "tok/s", "vs_baseline": round(tps / 100.0, 3)}))
 
@@ -305,13 +308,15 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="embed",
-                    choices=["embed", "decode", "decode-int8", "whisper",
-                             "summarize"])
+                    choices=["embed", "decode", "decode-int8", "decode-int4",
+                             "whisper", "summarize"])
     args = ap.parse_args()
     if args.metric == "decode":
         return bench_decode(False)
     if args.metric == "decode-int8":
-        return bench_decode(True)
+        return bench_decode("int8")
+    if args.metric == "decode-int4":
+        return bench_decode("int4")
     if args.metric == "whisper":
         return bench_whisper()
     if args.metric == "summarize":

@@ -111,7 +111,10 @@ class DecoderLM:
             # skip if the checkpoint is already quantized
             if not isinstance(params.get("lm_head"), dict):
                 params = kllama.quantize_params_int8(params)
-        elif quantize not in (None, "int8"):
+        elif quantize == "int4" and self.family is kllama:
+            if not isinstance(params.get("lm_head"), dict):
+                params = kllama.quantize_params_int4(params)
+        elif quantize not in (None, "int8", "int4"):
             raise InvalidConfigError(f"unknown quantize mode '{quantize}'")
         self.params = jax.tree.map(jnp.asarray, params)
 

@@ -230,17 +230,63 @@ def rope_cache(cfg: DecoderConfig, length: Optional[int] = None,
 
 
 def _mm(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Linear apply over a param dict; int8 weight-only quant goes through the
-    XLA convert-fused matmul path (measured at full HBM bandwidth — 2.0x over
-    bf16 weights on v5e; see ops/pallas/quant_matmul.py for the story)."""
+    """Linear apply over a param dict; int8/int4 weight-only quant goes
+    through XLA convert-fused matmul paths (int8 measured at full HBM
+    bandwidth — 2.0x over bf16 weights on v5e; see ops/pallas/quant_matmul.py
+    for the story). int4 uses GROUP-WISE scales (GGUF-Q4-style accuracy):
+    w [K, N] int4 with scales [K/g, N]; the matmul runs per input-group with
+    the convert fused, partials are scale-weighted and summed."""
     w = p["w"]
     if w.dtype == jnp.int8:
         y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    elif w.dtype == jnp.int4:
+        K, N = w.shape[-2], w.shape[-1]
+        scale = p["scale"]  # [..., K//g, N]
+        G = scale.shape[-2]
+        g = K // G
+        xg = x.reshape(*x.shape[:-1], G, g)
+        wg = w.reshape(*w.shape[:-2], G, g, N).astype(x.dtype)
+        partial = jnp.einsum("...Gg,Ggn->...Gn", xg, wg)
+        y = jnp.einsum("...Gn,Gn->...n", partial, scale.astype(x.dtype))
     else:
         y = x @ w
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def quantize_params_int4(params: dict, group_size: int = 128) -> dict:
+    """Group-wise int4 weight-only quantization (TPU analogue of the
+    reference's Q4_K path, cpu/kernels/x86/q4_k.rs): each [group_size]-long
+    slice of the input dim gets its own scale, recovering most of the
+    accuracy per-channel int4 loses. Weights store as jnp int4 (packed two
+    per byte in TPU HBM — 4x less weight traffic than bf16)."""
+    import numpy as _np
+
+    def quant(w):
+        w32 = _np.asarray(w, dtype=_np.float32)
+        K, N = w32.shape[-2], w32.shape[-1]
+        g = group_size if K % group_size == 0 else K
+        G = K // g
+        wg = w32.reshape(*w32.shape[:-2], G, g, N)
+        absmax = _np.maximum(_np.abs(wg).max(axis=-2), 1e-8)  # [..., G, N]
+        scale = absmax / 7.0
+        q = _np.clip(_np.round(wg / scale[..., None, :]), -8, 7)
+        q = q.reshape(w32.shape).astype(_np.int8)
+        return q, scale.astype(_np.float32)
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        entry = dict(layers[name])
+        qw, sc = quant(entry["w"])
+        entry["w"] = jnp.asarray(qw, dtype=jnp.int4)
+        entry["scale"] = sc
+        layers[name] = entry
+    out["layers"] = layers
+    qw, sc = quant(np.asarray(params["lm_head"]))
+    out["lm_head"] = {"w": jnp.asarray(qw, dtype=jnp.int4), "scale": sc}
+    return out
 
 
 def quantize_params_int8(params: dict) -> dict:

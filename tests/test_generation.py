@@ -218,6 +218,59 @@ class TestInt8Quantized:
         assert isinstance(out, str)
 
 
+class TestInt4Quantized:
+    def test_int4_generation_close_to_f32(self, llama_dir):
+        d, _ = llama_dir
+        lm32 = DecoderLM(d, dtype="f32", max_context=64)
+        lm4 = DecoderLM(d, dtype="f32", max_context=64, quantize="int4")
+        import jax.numpy as jnp
+        assert lm4.params["layers"]["q"]["w"].dtype == jnp.int4
+        # group-wise scales: [L, K/g, N] (g = min(128, K))
+        qw = lm4.params["layers"]["q"]
+        assert qw["scale"].shape[-2] == qw["w"].shape[-2] // min(
+            128, qw["w"].shape[-2])
+        import numpy as np
+        from kjarni_tpu.models import llama as kllama
+        ids = jnp.asarray([[5, 9, 23, 12]])
+        cfg = lm32.config
+        ck, cv = kllama.init_cache(cfg, 1, 8)
+        ref, _, _ = kllama.forward_all_logits(lm32.params, cfg, ids, ck, cv, 0)
+        ck, cv = kllama.init_cache(cfg, 1, 8)
+        got, _, _ = kllama.forward_all_logits(lm4.params, cfg, ids, ck, cv, 0)
+        r, g = np.asarray(ref).ravel(), np.asarray(got).ravel()
+        cos = r @ g / (np.linalg.norm(r) * np.linalg.norm(g))
+        # tiny random weights are int4's worst case (K=64 -> a single
+        # group = per-channel); real checkpoints measure higher
+        assert cos > 0.98
+        out = lm4.generate("hello world",
+                           config=GenerationConfig.greedy(max_new_tokens=4,
+                                                          max_length=64))
+        assert isinstance(out, str)
+
+    def test_int4_groupwise_beats_per_channel(self, llama_dir):
+        """Group-wise scales must reconstruct weights better than a single
+        per-channel scale at int4 (the reason Q4_K uses blocks)."""
+        import numpy as np
+        rng = np.random.default_rng(0)
+        # heavy-tailed weights make per-channel int4 collapse
+        w = rng.standard_normal((256, 64)).astype(np.float32)
+        w[:8] *= 20.0
+        from kjarni_tpu.models.llama import quantize_params_int4
+        params = {"layers": {n: {"w": w[None]} for n in
+                             ("q", "k", "v", "o", "gate", "up", "down")},
+                  "lm_head": w}
+        q4 = quantize_params_int4(params, group_size=64)
+        deq = (np.asarray(q4["layers"]["q"]["w"][0], np.float32)
+               .reshape(4, 64, 64) *
+               q4["layers"]["q"]["scale"][0][:, None, :]).reshape(256, 64)
+        err_group = np.abs(deq - w).mean()
+        # per-channel int4 reference
+        scale_pc = np.abs(w).max(axis=0) / 7.0
+        q_pc = np.clip(np.round(w / scale_pc), -8, 7)
+        err_pc = np.abs(q_pc * scale_pc - w).mean()
+        assert err_group < err_pc * 0.5
+
+
 class TestInt8KvCache:
     def test_kv_int8_greedy_matches_f32_cache(self, llama_dir):
         d, _ = llama_dir
