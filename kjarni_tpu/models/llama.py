@@ -275,17 +275,22 @@ def quantize_params_int4(params: dict, group_size: int = 128) -> dict:
         q = q.reshape(w32.shape).astype(_np.int8)
         return q, scale.astype(_np.float32)
 
+    import ml_dtypes
+    # host-side int4 conversion: device-side int8->int4 convert recurses in
+    # the axon backend's dispatch; ml_dtypes.int4 keeps it in numpy
+    to_int4 = lambda a: a.astype(ml_dtypes.int4)
+
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("q", "k", "v", "o", "gate", "up", "down"):
         entry = dict(layers[name])
         qw, sc = quant(entry["w"])
-        entry["w"] = jnp.asarray(qw, dtype=jnp.int4)
+        entry["w"] = to_int4(qw)
         entry["scale"] = sc
         layers[name] = entry
     out["layers"] = layers
     qw, sc = quant(np.asarray(params["lm_head"]))
-    out["lm_head"] = {"w": jnp.asarray(qw, dtype=jnp.int4), "scale": sc}
+    out["lm_head"] = {"w": to_int4(qw), "scale": sc}
     return out
 
 
