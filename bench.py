@@ -102,6 +102,13 @@ def bench_decode(quantize=False):
     import jax.numpy as jnp
     from kjarni_tpu.models import llama as kllama
 
+    if quantize == "int4" and not kllama.int4_device_supported():
+        print(json.dumps({
+            "metric": "llama_1b_decode_int4_tok_per_sec", "value": 0,
+            "unit": "tok/s", "vs_baseline": 0,
+            "note": "backend lacks native int4 device support (axon dev "
+                    "tunnel device_put recurses); int4 is CPU-verified only"}))
+        return
     cfg, params = build_llama_1b(None, quantize)
     N = 64
     ck, cv = kllama.init_cache(cfg, 1, 2048, jnp.bfloat16)

@@ -255,6 +255,21 @@ def _mm(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     return y
 
 
+def int4_device_supported() -> bool:
+    """Whether the current backend can hold int4 arrays. Native cpu/tpu/gpu
+    runtimes pack int4; the axon dev tunnel (which registers as platform
+    'tpu' but proxies device_put) recurses on int4 — and probing by attempt
+    hangs for minutes, so this gates on the tunnel's env marker. Callers
+    gate quantize='int4' on this."""
+    import os
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # axon tunnel: device_put(int4) recurses
+    try:
+        return jax.default_backend() in ("cpu", "tpu", "gpu", "cuda", "rocm")
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def quantize_params_int4(params: dict, group_size: int = 128) -> dict:
     """Group-wise int4 weight-only quantization (TPU analogue of the
     reference's Q4_K path, cpu/kernels/x86/q4_k.rs): each [group_size]-long

@@ -14,6 +14,7 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from encoder_ablation2 import (BATCH, SEQ, L, H, NH, I, D, build_params,
                                layer_norm, split_heads, merge_heads, measure)
 
