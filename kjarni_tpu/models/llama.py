@@ -262,12 +262,15 @@ def int4_device_supported() -> bool:
     hangs for minutes, so this gates on the tunnel's env marker. Callers
     gate quantize='int4' on this."""
     import os
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return False  # axon tunnel: device_put(int4) recurses
     try:
-        return jax.default_backend() in ("cpu", "tpu", "gpu", "cuda", "rocm")
+        backend = jax.default_backend()
     except Exception:  # noqa: BLE001
         return False
+    if backend == "cpu":
+        return True  # CPU packs int4 natively regardless of env
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # axon tunnel (registers as 'tpu'): device_put recurses
+    return backend in ("tpu", "gpu", "cuda", "rocm")
 
 
 def quantize_params_int4(params: dict, group_size: int = 128) -> dict:
