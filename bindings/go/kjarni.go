@@ -260,7 +260,7 @@ func (c *Chat) Stream(message string, fn func(token string) bool) error {
 func (c *Chat) StreamWithCancel(message string, token *CancelToken,
 	fn func(token string) bool) error {
 	b, _ := json.Marshal(map[string]string{"message": message})
-	return streamPull(c.h, "stream", string(b), token, fn)
+	return streamPull(c.handle, "stream", string(b), token, fn)
 }
 
 func streamPull(h *handle, method, args string, token *CancelToken,

@@ -286,7 +286,10 @@ class SpeculativeGenerator:
         """Blocking speculative generation; fused=True runs the entire loop
         as one device dispatch (greedy strategy only)."""
         gen = config or GenerationConfig.greedy()
-        if not fused or self.probabilistic or gen.strategy != "greedy":
+        # cancellation needs the per-token host loop (the fused on-device
+        # while_loop cannot be interrupted) — same policy as DecoderLM.generate
+        if (not fused or self.probabilistic or gen.strategy != "greedy"
+                or cancellation is not None):
             return "".join(st.text for st in
                            self.generate_stream(prompt, token_ids=token_ids,
                                                 config=gen,
