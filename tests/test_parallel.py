@@ -296,3 +296,30 @@ class TestSequenceParallel:
         ids = jnp.zeros((1, 16), jnp.int32)
         with pytest.raises(ValueError):
             sequence_parallel_forward(params, cfg, ids, mesh)
+
+    def test_pp4_four_stages(self):
+        """Four pipeline stages, one layer each, bubble = 3 steps."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from __graft_entry__ import _random_llama
+        from kjarni_tpu.models import llama as kllama
+        from kjarni_tpu.parallel.pipeline import (make_pp_mesh,
+                                                  pipeline_forward,
+                                                  pp_param_sharding)
+        from kjarni_tpu.parallel.mesh import shard_params_with
+        cfg, params = _random_llama({
+            "num_heads": 8, "num_kv_heads": 4, "head_dim": 16,
+            "hidden_size": 128, "intermediate_size": 256, "vocab_size": 256,
+            "max_seq_len": 64, "num_layers": 4})
+        params = jax.tree.map(jnp.asarray, params)
+        ids = jnp.asarray(np.random.default_rng(6).integers(0, 256, (8, 8)),
+                          dtype=jnp.int32)
+        ck, cv = kllama.init_cache(cfg, 8, 8)
+        ref, _, _ = kllama.forward_all_logits(params, cfg, ids, ck, cv, 0)
+        mesh = make_pp_mesh(4, pp=4)
+        sharded = shard_params_with(params, pp_param_sharding(mesh), mesh)
+        with mesh:
+            got = pipeline_forward(sharded, cfg, ids, mesh, n_micro=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
