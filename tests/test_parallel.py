@@ -271,32 +271,6 @@ class TestPipelineParallel:
                                    atol=2e-4, rtol=1e-4)
 
 
-class TestSequenceParallel:
-    """Ulysses-style sp prefill (parallel/sequence.py)."""
-
-    def test_sp_forward_matches_single_device(self, tiny_llama):
-        from kjarni_tpu.models import llama as kllama
-        from kjarni_tpu.parallel.sequence import (make_sp_mesh,
-                                                  sequence_parallel_forward)
-        cfg, params = tiny_llama  # heads 8, kv 4 -> sp=4 divides both
-        ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (2, 16)),
-                          dtype=jnp.int32)
-        ck, cv = kllama.init_cache(cfg, 2, 16)
-        ref, _, _ = kllama.forward_all_logits(params, cfg, ids, ck, cv, 0)
-        mesh = make_sp_mesh(4)
-        got = sequence_parallel_forward(params, cfg, ids, mesh)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=2e-4, rtol=1e-4)
-
-    def test_sp_rejects_indivisible(self, tiny_llama):
-        from kjarni_tpu.parallel.sequence import (make_sp_mesh,
-                                                  sequence_parallel_forward)
-        cfg, params = tiny_llama
-        mesh = make_sp_mesh(8)  # kv heads 4 do not divide 8
-        ids = jnp.zeros((1, 16), jnp.int32)
-        with pytest.raises(ValueError):
-            sequence_parallel_forward(params, cfg, ids, mesh)
-
     def test_pp4_four_stages(self):
         """Four pipeline stages, one layer each, bubble = 3 steps."""
         import sys, os
@@ -323,3 +297,30 @@ class TestSequenceParallel:
             got = pipeline_forward(sharded, cfg, ids, mesh, n_micro=4)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4, rtol=1e-4)
+
+
+class TestSequenceParallel:
+    """Ulysses-style sp prefill (parallel/sequence.py)."""
+
+    def test_sp_forward_matches_single_device(self, tiny_llama):
+        from kjarni_tpu.models import llama as kllama
+        from kjarni_tpu.parallel.sequence import (make_sp_mesh,
+                                                  sequence_parallel_forward)
+        cfg, params = tiny_llama  # heads 8, kv 4 -> sp=4 divides both
+        ids = jnp.asarray(np.random.default_rng(5).integers(0, 256, (2, 16)),
+                          dtype=jnp.int32)
+        ck, cv = kllama.init_cache(cfg, 2, 16)
+        ref, _, _ = kllama.forward_all_logits(params, cfg, ids, ck, cv, 0)
+        mesh = make_sp_mesh(4)
+        got = sequence_parallel_forward(params, cfg, ids, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_sp_rejects_indivisible(self, tiny_llama):
+        from kjarni_tpu.parallel.sequence import (make_sp_mesh,
+                                                  sequence_parallel_forward)
+        cfg, params = tiny_llama
+        mesh = make_sp_mesh(8)  # kv heads 4 do not divide 8
+        ids = jnp.zeros((1, 16), jnp.int32)
+        with pytest.raises(ValueError):
+            sequence_parallel_forward(params, cfg, ids, mesh)
