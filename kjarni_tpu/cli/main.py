@@ -129,7 +129,8 @@ def cmd_model(args) -> int:
 def cmd_classify(args) -> int:
     from ..tasks.classifier import Classifier
     text = _read_text(args.text)
-    clf = Classifier(args.model, quiet=args.quiet)
+    clf = Classifier(args.model, quiet=args.quiet,
+                     dp=getattr(args, "dp", None))
     result = clf.classify(text)
     if args.format == "json":
         print(json.dumps({"label": result.label, "score": result.score,
@@ -142,7 +143,8 @@ def cmd_classify(args) -> int:
 def cmd_embed(args) -> int:
     from ..tasks.embedder import Embedder
     text = _read_text(args.text)
-    emb = Embedder(args.model, quiet=args.quiet)
+    emb = Embedder(args.model, quiet=args.quiet,
+                   dp=getattr(args, "dp", None))
     vec = emb.embed(text)
     if args.format == "json":
         print(json.dumps({"dim": len(vec), "embedding": [float(x) for x in vec]},
@@ -156,7 +158,8 @@ def cmd_embed(args) -> int:
 
 def cmd_similarity(args) -> int:
     from ..tasks.embedder import Embedder
-    emb = Embedder(args.model, quiet=args.quiet)
+    emb = Embedder(args.model, quiet=args.quiet,
+                   dp=getattr(args, "dp", None))
     score = emb.similarity(args.text_a, args.text_b)
     if args.format == "json":
         print(json.dumps({"similarity": score}))
@@ -167,7 +170,8 @@ def cmd_similarity(args) -> int:
 
 def cmd_rerank(args) -> int:
     from ..tasks.reranker import Reranker
-    rr = Reranker(args.model, quiet=args.quiet)
+    rr = Reranker(args.model, quiet=args.quiet,
+                  dp=getattr(args, "dp", None))
     results = rr.rerank(args.query, args.documents)
     if args.format == "json":
         print(json.dumps([{"index": r.index, "score": r.score, "text": r.text}
@@ -203,6 +207,8 @@ def cmd_generate(args) -> int:
     if getattr(args, "draft_model", None):
         overrides["draft_model"] = args.draft_model
         overrides["draft_num_tokens"] = args.draft_tokens
+    if getattr(args, "tp", None):
+        overrides["tp"] = args.tp
     gen = Generator(args.model, quiet=args.quiet, **overrides)
     cfg = resolve_generation_config(
         args.preset, None,
@@ -223,6 +229,8 @@ def cmd_chat(args) -> int:
     if getattr(args, "draft_model", None):
         chat_overrides["draft_model"] = args.draft_model
         chat_overrides["draft_num_tokens"] = args.draft_tokens
+    if getattr(args, "tp", None):
+        chat_overrides["tp"] = args.tp
     chat = Chat(args.model, system_prompt=args.system, quiet=args.quiet,
                 **chat_overrides)
     if args.message:
@@ -311,7 +319,9 @@ def cmd_serve(args) -> int:
                          batch_window_ms=args.batch_window_ms,
                          scheduler=args.scheduler,
                          draft_model=args.draft_model,
-                         request_timeout_s=args.device_timeout)
+                         request_timeout_s=args.device_timeout,
+                         tp=getattr(args, "tp", None),
+                         dp=getattr(args, "dp", None))
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()
@@ -391,26 +401,35 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--dtype", default="auto", choices=["auto", "f32", "bf16"])
     sp.set_defaults(fn=cmd_model)
 
+    def add_dp(sp):
+        sp.add_argument("--dp", type=int, default=None, metavar="N",
+                        help="data-parallel over N chips (batch rows "
+                             "sharded over the device mesh)")
+
     sp = sub.add_parser("classify", help="classify text")
     sp.add_argument("text", nargs="?")
     add_common(sp, "distilbert-sentiment")
+    add_dp(sp)
     sp.set_defaults(fn=cmd_classify)
 
     sp = sub.add_parser("embed", help="generate embeddings")
     sp.add_argument("text", nargs="?")
     add_common(sp, "minilm-l6-v2")
+    add_dp(sp)
     sp.set_defaults(fn=cmd_embed)
 
     sp = sub.add_parser("similarity", help="semantic similarity of two texts")
     sp.add_argument("text_a")
     sp.add_argument("text_b")
     add_common(sp, "minilm-l6-v2")
+    add_dp(sp)
     sp.set_defaults(fn=cmd_similarity)
 
     sp = sub.add_parser("rerank", help="rerank documents against a query")
     sp.add_argument("query")
     sp.add_argument("documents", nargs="+")
     add_common(sp, "minilm-l6-v2-cross-encoder")
+    add_dp(sp)
     sp.set_defaults(fn=cmd_rerank)
 
     sp = sub.add_parser("generate", help="generate text with an LLM")
@@ -425,6 +444,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="smaller same-vocab model for speculative decoding")
     sp.add_argument("--draft-tokens", type=int, default=4,
                     help="draft tokens proposed per speculation round")
+    sp.add_argument("--tp", type=int, default=None, metavar="N",
+                    help="tensor-parallel over N chips (Megatron-sharded "
+                         "weights + kv cache over the device mesh)")
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_generate)
 
@@ -434,6 +456,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--draft-model",
                     help="smaller same-vocab model for speculative decoding")
     sp.add_argument("--draft-tokens", type=int, default=4)
+    sp.add_argument("--tp", type=int, default=None, metavar="N",
+                    help="tensor-parallel over N chips")
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_chat)
 
@@ -487,6 +511,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--device-timeout", type=float, default=None,
                     help="per-request deadline in seconds; a wedged device "
                          "returns 503 instead of hanging")
+    sp.add_argument("--tp", type=int, default=None, metavar="N",
+                    help="tensor-parallel decoder models over N chips")
+    sp.add_argument("--dp", type=int, default=None, metavar="N",
+                    help="data-parallel encoder models over N chips")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("export-browser",

@@ -102,6 +102,17 @@ class ContinuousEngine:
         ck1, cv1 = lm.family.init_cache(self.cfg, 1, self.T, dt)
         self.cache_k = jnp.zeros((slots,) + ck1.shape, ck1.dtype)
         self.cache_v = jnp.zeros((slots,) + cv1.shape, cv1.dtype)
+        if getattr(lm, "_mesh", None) is not None:
+            # tensor-parallel lm: shard the stacked caches' kv-head axis
+            # ([S, L, 1, Hkv, T, D] -> axis 3) to match the sharded weights
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = lm._mesh
+            spec = [None] * self.cache_k.ndim
+            if self.cache_k.shape[3] % mesh.shape.get("tp", 1) == 0:
+                spec[3] = "tp"
+            sh = NamedSharding(mesh, P(*spec))
+            self.cache_k = jax.device_put(self.cache_k, sh)
+            self.cache_v = jax.device_put(self.cache_v, sh)
         self._slots = [_Slot() for _ in range(slots)]
         self._last_tok = np.zeros(slots, np.int32)
         # per-slot sampling state (temp<=0 = greedy); keys advance per step

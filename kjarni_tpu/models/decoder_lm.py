@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import random as _random
 from functools import partial
 from pathlib import Path
@@ -41,6 +42,8 @@ from . import gpt2 as kgpt2
 from . import llama as kllama
 
 DEFAULT_MAX_CONTEXT = 4096
+
+logger = logging.getLogger(__name__)
 
 
 def resolve_dtype(dtype):
@@ -65,7 +68,8 @@ class DecoderLM:
                  max_context: Optional[int] = None,
                  quantize: Optional[str] = None,
                  kv_cache: Optional[str] = None,
-                 execution_plan=None):
+                 execution_plan=None,
+                 tp: Optional[int] = None):
         dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
         self.model_dir = model_dir
@@ -122,6 +126,29 @@ class DecoderLM:
         elif quantize not in (None, "int8", "int4"):
             raise InvalidConfigError(f"unknown quantize mode '{quantize}'")
         self.params = jax.tree.map(jnp.asarray, params)
+
+        # tensor parallelism over a ("dp","tp") mesh (parallel/mesh.py):
+        # Megatron column/row-sharded params, kv-head-sharded cache, same
+        # jitted programs — GSPMD inserts the ICI collectives. This is the
+        # product path for the scale-out axis the reference never had
+        # (SURVEY §2.5, §7 step 8).
+        self._mesh = None
+        if tp is not None and tp > 1:
+            if self.family is not kllama:
+                raise InvalidConfigError(
+                    "tensor parallelism (tp>1) supports llama-family models "
+                    "only (llama/qwen2/mistral/phi3)")
+            if execution_plan is not None:
+                raise InvalidConfigError(
+                    "tp>1 and execution_plan host-offload are mutually "
+                    "exclusive (host pinning is a single-chip optimization)")
+            n_dev = len(jax.devices())
+            if n_dev < tp:
+                raise InvalidConfigError(
+                    f"tp={tp} requested but only {n_dev} device(s) visible")
+            from ..parallel.mesh import make_mesh, shard_llama_params
+            self._mesh = make_mesh(tp, dp=1, tp=tp)
+            self.params = shard_llama_params(self.params, self._mesh)
 
         # per-stage host offload (ExecutionPlan, execution/plan.rs:4): pin the
         # embedding table and/or lm head in host memory; the matching compute
@@ -181,7 +208,10 @@ class DecoderLM:
         self._flash_min_seq = 512
         self._flash_ok = (
             self.family is kllama
-            and jax.devices()[0].platform != "cpu")
+            and jax.devices()[0].platform != "cpu"
+            # Pallas custom-calls don't partition under GSPMD; the XLA
+            # attention path shards fine, so tp runs without flash
+            and self._mesh is None)
 
         @partial(jax.jit, donate_argnums=(1, 2),
                  static_argnames=("use_flash", "kv_bucket"))
@@ -213,12 +243,16 @@ class DecoderLM:
     def _ensure_cache(self):
         if self._cache is None:
             if self._kv_quantized:
-                self._cache = kllama.init_cache(
+                cache = kllama.init_cache(
                     self.config, 1, self.max_context, self._cache_dtype,
                     quantized=True)
             else:
-                self._cache = self.family.init_cache(
+                cache = self.family.init_cache(
                     self.config, 1, self.max_context, self._cache_dtype)
+            if self._mesh is not None:
+                from ..parallel.mesh import shard_cache
+                cache = shard_cache(cache, self._mesh)
+            self._cache = cache
         return self._cache
 
     def _step_fn(self, gen: GenerationConfig):
@@ -339,6 +373,25 @@ class DecoderLM:
     # public API
     # ------------------------------------------------------------------
 
+    def _bound_prompt(self, ids: list[int]) -> list[int]:
+        """Bound a prompt to the context window, keeping the NEWEST tokens.
+
+        The reference hard-stops at the limit
+        (decoder/generator.rs:322); silently keeping the head would generate
+        from stale context in a long chat — the newest user message is the
+        part that must survive, so the head is dropped and the tail kept.
+        tasks/chat.py trims whole conversation turns before it ever gets
+        here; this is the raw-generate backstop.
+        """
+        limit = self.max_context - 1
+        if len(ids) <= limit:
+            return ids
+        logger.warning(
+            "prompt (%d tokens) exceeds max_context %d; dropping the oldest "
+            "%d tokens and keeping the newest %d",
+            len(ids), self.max_context, len(ids) - limit, limit)
+        return ids[-limit:]
+
     def encode_prompt(self, prompt: str, add_bos: bool = True) -> list[int]:
         ids = self.tokenizer.encode(prompt, add_special_tokens=False)
         if add_bos and self.bos_token_id is not None and \
@@ -363,7 +416,7 @@ class DecoderLM:
             if prompt is None:
                 raise GenerationError("either prompt or token_ids is required")
             token_ids = self.encode_prompt(prompt, gen.add_bos_token)
-        ids = list(token_ids)[: self.max_context - 1]
+        ids = self._bound_prompt(list(token_ids))
         if not ids:
             raise GenerationError("empty prompt")
         prompt_len = len(ids)
@@ -495,7 +548,7 @@ class DecoderLM:
         gen = config or GenerationConfig()
         if not prompts:
             return []
-        ids_list = [self.encode_prompt(p, gen.add_bos_token)[: self.max_context - 1]
+        ids_list = [self._bound_prompt(self.encode_prompt(p, gen.add_bos_token))
                     for p in prompts]
         B = len(ids_list)
         max_len = max(len(i) for i in ids_list)
@@ -519,6 +572,9 @@ class DecoderLM:
         prefill_b, decode_b = self._batch_fns(gen, B)
         ck, cv = self.family.init_cache(self.config, B, self.max_context,
                                         self._cache_dtype)
+        if self._mesh is not None:
+            from ..parallel.mesh import shard_cache
+            ck, cv = shard_cache((ck, cv), self._mesh)
         logits, ck, cv = prefill_b(self.params, ck, cv, jnp.asarray(ids),
                                    jnp.asarray(positions),
                                    jnp.asarray(pad_mask))
@@ -559,7 +615,7 @@ class DecoderLM:
             if prompt is None:
                 raise GenerationError("either prompt or token_ids is required")
             token_ids = self.encode_prompt(prompt, gen.add_bos_token)
-        ids = list(token_ids)[: self.max_context - 1]
+        ids = self._bound_prompt(list(token_ids))
         if not ids:
             raise GenerationError("empty prompt")
         prompt_len = len(ids)

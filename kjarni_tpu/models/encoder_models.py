@@ -31,7 +31,8 @@ def _l2_normalize(x: np.ndarray) -> np.ndarray:
 class _EncoderBase:
     """Shared load path: config.json + tokenizer.json + safetensors -> jitted encode."""
 
-    def __init__(self, model_dir: Path, dtype="auto", device=None):
+    def __init__(self, model_dir: Path, dtype="auto", device=None,
+                 dp: Optional[int] = None):
         from .decoder_lm import resolve_dtype
         dtype = resolve_dtype(dtype)
         model_dir = Path(model_dir)
@@ -48,6 +49,23 @@ class _EncoderBase:
         self.params = jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), dev),
             kbert.load_params(ws, self.config, dtype))
+        # dp=N: replicate params over an N-device mesh and shard every batch
+        # row-wise over "dp" — throughput scale-out over ICI for encoder
+        # workloads (SURVEY §2.5/§7; parallel/inference.py is the library
+        # form, this is the product path)
+        self._mesh = None
+        self._dp = 1
+        if dp is not None and dp > 1:
+            from ..core.errors import InvalidConfigError
+            n_dev = len(jax.devices())
+            if n_dev < dp:
+                raise InvalidConfigError(
+                    f"dp={dp} requested but only {n_dev} device(s) visible")
+            from ..parallel.inference import replicate_params
+            from ..parallel.mesh import make_mesh
+            self._mesh = make_mesh(dp, dp=dp, tp=1)
+            self._dp = dp
+            self.params = replicate_params(self.params, self._mesh)
         self._weights = ws
         cfg = self.config
 
@@ -56,6 +74,27 @@ class _EncoderBase:
             return kbert.encode(params, cfg, ids, mask, token_type)
 
         self._encode = _encode
+
+    def _device_batch(self, ids: np.ndarray, mask: np.ndarray,
+                      tt: np.ndarray):
+        """Host batch -> device arrays; under dp, pad rows to a multiple of
+        the mesh size and shard them over "dp" (pad rows get mask=1 so pooling
+        never divides by zero; callers slice results back to the true count).
+        """
+        if self._mesh is None:
+            return jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(tt)
+        pad = (-ids.shape[0]) % self._dp
+        if pad:
+            ids = np.concatenate(
+                [ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+            mask = np.concatenate(
+                [mask, np.ones((pad, mask.shape[1]), mask.dtype)])
+            tt = np.concatenate([tt, np.zeros((pad, tt.shape[1]), tt.dtype)])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rows = NamedSharding(self._mesh, P("dp", None))
+        return (jax.device_put(jnp.asarray(ids), rows),
+                jax.device_put(jnp.asarray(mask), rows),
+                jax.device_put(jnp.asarray(tt), rows))
 
     @property
     def hidden_size(self) -> int:
@@ -75,9 +114,11 @@ class _EncoderBase:
             tt = self._pair_type_ids(texts, pairs, ids.shape[1], ids.shape[0])
         else:
             tt = np.zeros_like(ids)
-        hidden = self._encode(self.params, jnp.asarray(ids), jnp.asarray(mask),
-                              jnp.asarray(tt))
-        return hidden, ids, mask
+        ids_d, mask_d, tt_d = self._device_batch(ids, mask, tt)
+        hidden = self._encode(self.params, ids_d, mask_d, tt_d)
+        # under dp, hidden/mask may carry padding rows; callers slice by the
+        # true batch length
+        return hidden, np.asarray(ids_d), np.asarray(mask_d)
 
     def _pair_type_ids(self, texts, pairs, width, rows=None) -> np.ndarray:
         encs = self.tokenizer.tk.encode_batch(list(zip(texts, pairs)))
@@ -127,9 +168,13 @@ class SentenceEncoder(_EncoderBase):
 class CrossEncoder(_EncoderBase):
     """Query-document relevance scoring (cf. cross_encoder/model.rs:32)."""
 
-    def __init__(self, model_dir: Path, dtype="auto", device=None):
-        super().__init__(model_dir, dtype, device)
+    def __init__(self, model_dir: Path, dtype="auto", device=None,
+                 dp: Optional[int] = None):
+        super().__init__(model_dir, dtype, device, dp)
         self.head = _load_classification_head(self._weights, self.hf_config)
+        if self._mesh is not None:
+            from ..parallel.inference import replicate_params
+            self.head.params = replicate_params(self.head.params, self._mesh)
 
         head = self.head
         cfg = self.config
@@ -160,9 +205,9 @@ class CrossEncoder(_EncoderBase):
             tt = self._pair_type_ids(queries, docs, ids.shape[1], ids.shape[0])
         else:
             tt = np.zeros_like(ids)
+        ids_d, mask_d, tt_d = self._device_batch(ids, mask, tt)
         scores = np.asarray(self._score(self.params, self.head.params,
-                                        jnp.asarray(ids), jnp.asarray(mask),
-                                        jnp.asarray(tt)))
+                                        ids_d, mask_d, tt_d))
         return scores[:len(pairs)].astype(np.float32)
 
     def predict_pair(self, query: str, document: str) -> float:
@@ -257,9 +302,13 @@ def _head_forward(head: _HeadSpec, params: dict, hidden: jnp.ndarray,
 class SequenceClassifier(_EncoderBase):
     """Text -> label scores (cf. sequence_classifier/mod.rs:42)."""
 
-    def __init__(self, model_dir: Path, dtype="auto", device=None):
-        super().__init__(model_dir, dtype, device)
+    def __init__(self, model_dir: Path, dtype="auto", device=None,
+                 dp: Optional[int] = None):
+        super().__init__(model_dir, dtype, device, dp)
         self.head = _load_classification_head(self._weights, self.hf_config)
+        if self._mesh is not None:
+            from ..parallel.inference import replicate_params
+            self.head.params = replicate_params(self.head.params, self._mesh)
         self.labels = self.head.labels
         self.is_multi_label = (
             self.hf_config.get("problem_type") == "multi_label_classification")
@@ -280,9 +329,9 @@ class SequenceClassifier(_EncoderBase):
         ids, mask = self.tokenizer.encode_batch(texts, max_len=self.max_seq_len,
                                                 pad_batch=True)
         tt = np.zeros_like(ids)
+        ids_d, mask_d, tt_d = self._device_batch(ids, mask, tt)
         logits = np.asarray(self._logits(self.params, self.head.params,
-                                         jnp.asarray(ids), jnp.asarray(mask),
-                                         jnp.asarray(tt)))
+                                         ids_d, mask_d, tt_d))
         return logits[:len(texts)].astype(np.float32)
 
     def classify_scores_batch(self, texts: Sequence[str],

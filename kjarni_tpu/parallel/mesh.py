@@ -43,22 +43,29 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def llama_param_sharding(mesh: Mesh) -> dict:
+def llama_param_sharding(mesh: Mesh, params: Optional[dict] = None) -> dict:
     """NamedSharding pytree matching models/llama.py load_params() structure.
 
     Megatron layout: QKV/gate/up column-parallel (output dim on "tp"),
     o/down row-parallel (input dim on "tp"), lm_head column-parallel,
     embeddings and norms replicated. Layer axis (leading) is never sharded —
-    it is scanned over.
+    it is scanned over. Works for the int8-quantized layout too ("scale"
+    follows the output dim of column-parallel layers, stays replicated for
+    row-parallel ones); pass `params` so a quantized {"w","scale"} lm_head
+    gets its dict-form spec.
     """
-    col = {"w": _ns(mesh, None, None, "tp")}   # [L, in, out] -> shard out
-    col_b = {"w": _ns(mesh, None, None, "tp"), "b": _ns(mesh, None, "tp")}
-    row = {"w": _ns(mesh, None, "tp", None)}   # [L, in, out] -> shard in
+    # "scale" ([L, out]) follows the sharded output dim on column-parallel
+    # layers; on row-parallel layers the output dim is unsharded -> replicated
+    col = {"w": _ns(mesh, None, None, "tp"), "scale": _ns(mesh, None, "tp")}
+    col_b = {"w": _ns(mesh, None, None, "tp"), "b": _ns(mesh, None, "tp"),
+             "scale": _ns(mesh, None, "tp")}
+    row = {"w": _ns(mesh, None, "tp", None), "scale": _ns(mesh, None, None)}
     rep1 = _ns(mesh, None)
     rep2 = _ns(mesh, None, None)
 
-    def qkv(with_bias: bool):
-        return col_b if with_bias else col
+    lm_head = _ns(mesh, None, "tp")
+    if params is not None and isinstance(params.get("lm_head"), dict):
+        lm_head = {"w": _ns(mesh, None, "tp"), "scale": _ns(mesh, "tp")}
 
     return {
         "embed": rep2,
@@ -69,7 +76,7 @@ def llama_param_sharding(mesh: Mesh) -> dict:
             "attn_norm": rep2, "ffn_norm": rep2,
         },
         "final_norm": rep1,
-        "lm_head": _ns(mesh, None, "tp"),
+        "lm_head": lm_head,
         "rope_cos": rep2,
         "rope_sin": rep2,
     }
@@ -80,7 +87,10 @@ def _match_structure(params: dict, shardings: dict, mesh: Mesh):
 
     Handles optional biases, None leaves, and rank mismatches (a spec written
     for stacked [L, ...] weights falls back to replication for unstacked or
-    lower-rank tensors).
+    lower-rank tensors). A dim that does not divide its mesh axis falls back
+    to replication for that leaf — GSPMD keeps the math identical either way,
+    sharding is purely a layout/performance hint (matters for e.g. tiny test
+    vocabularies that don't divide tp).
     """
     rep = NamedSharding(mesh, P())
 
@@ -90,6 +100,13 @@ def _match_structure(params: dict, shardings: dict, mesh: Mesh):
         ndim = getattr(leaf, "ndim", None)
         if ndim is None or len(s.spec) > ndim:
             return rep
+        for dim, ax in zip(leaf.shape, s.spec):
+            if ax is None:
+                continue
+            axes = (ax,) if isinstance(ax, str) else tuple(ax)
+            size = int(np.prod([mesh.shape[a] for a in axes]))
+            if dim % size:
+                return rep
         return s
 
     def go(p, s):
@@ -103,7 +120,7 @@ def _match_structure(params: dict, shardings: dict, mesh: Mesh):
 
 def shard_llama_params(params: dict, mesh: Mesh) -> dict:
     """Place a llama params pytree onto the mesh with tensor-parallel layout."""
-    sh = _match_structure(params, llama_param_sharding(mesh), mesh)
+    sh = _match_structure(params, llama_param_sharding(mesh, params), mesh)
     return jax.tree.map(jax.device_put, params, sh)
 
 
@@ -115,6 +132,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def cache_sharding(mesh: Mesh) -> NamedSharding:
     """KV caches [L, B, Hkv, T, D]: batch on "dp", kv heads on "tp"."""
     return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+
+
+def shard_cache(cache, mesh: Mesh):
+    """Place a KV-cache pytree onto the mesh: batch axis on "dp", kv-head axis
+    on "tp" — per leaf, with replication fallback for non-divisible dims.
+
+    Works for plain [L, B, Hkv, T, D] arrays, int8 caches ({"q": [L,B,Hkv,T,D],
+    "s": [L,B,Hkv,T]}), and any (k, v) tuple of those.
+    """
+    dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
+
+    def put(x):
+        spec = [None] * x.ndim
+        if x.ndim >= 4:
+            if x.shape[1] % dp == 0:
+                spec[1] = "dp"
+            if x.shape[2] % tp == 0:
+                spec[2] = "tp"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree.map(put, cache)
 
 
 def encoder_param_sharding(mesh: Mesh) -> dict:

@@ -44,7 +44,8 @@ class _Engine:
                  quiet: bool = True, max_batch: int = 1,
                  batch_window_ms: float = 10.0, scheduler: str = "batch",
                  draft_model: str | None = None, draft_num_tokens: int = 4,
-                 request_timeout_s: float | None = None):
+                 request_timeout_s: float | None = None,
+                 tp: int | None = None, dp: int | None = None):
         if scheduler not in ("batch", "continuous"):
             raise KjarniError(f"unknown scheduler '{scheduler}' "
                               f"(expected 'batch' or 'continuous')")
@@ -75,6 +76,10 @@ class _Engine:
         }
         self.defaults.update(default_models or {})
         self.quiet = quiet
+        # multi-chip: tensor-parallel decoders / data-parallel encoders
+        # (parallel/mesh.py shardings threaded through the task constructors)
+        self.tp = tp
+        self.dp = dp
         # speculative decoding for /v1/generate (greedy requests)
         self.draft_model = draft_model
         self.draft_num_tokens = draft_num_tokens
@@ -108,21 +113,22 @@ class _Engine:
     def _construct(self, kind: str, model: str):
         if kind == "classify":
             from .tasks.classifier import Classifier
-            obj = Classifier(model, quiet=self.quiet)
+            obj = Classifier(model, quiet=self.quiet, dp=self.dp)
         elif kind == "embed":
             from .tasks.embedder import Embedder
-            obj = Embedder(model, quiet=self.quiet)
+            obj = Embedder(model, quiet=self.quiet, dp=self.dp)
         elif kind == "rerank":
             from .tasks.reranker import Reranker
-            obj = Reranker(model, quiet=self.quiet)
+            obj = Reranker(model, quiet=self.quiet, dp=self.dp)
         elif kind in ("generate",):
             from .tasks.generator import Generator
             obj = Generator(model, quiet=self.quiet,
+                            tp=self.tp,
                             draft_model=self.draft_model,
                             draft_num_tokens=self.draft_num_tokens)
         elif kind == "chat":
             from .tasks.chat import Chat
-            obj = Chat(model, quiet=self.quiet)
+            obj = Chat(model, quiet=self.quiet, tp=self.tp)
         elif kind == "search":
             from .tasks.searcher import Searcher
             obj = Searcher(model, quiet=self.quiet)
@@ -322,11 +328,13 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
           batch_window_ms: float = 10.0,
           scheduler: str = "batch",
           draft_model: str | None = None,
-          request_timeout_s: float | None = None) -> ThreadingHTTPServer:
+          request_timeout_s: float | None = None,
+          tp: int | None = None, dp: int | None = None) -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
                      batch_window_ms=batch_window_ms, scheduler=scheduler,
                      draft_model=draft_model,
-                     request_timeout_s=request_timeout_s)
+                     request_timeout_s=request_timeout_s,
+                     tp=tp, dp=dp)
     server = KjarniHTTPServer((host, port), make_handler(engine))
     return server
 
@@ -366,6 +374,10 @@ def main(argv=None) -> int:
                     help="per-request deadline in seconds; a wedged device "
                          "returns 503 instead of hanging (default: "
                          "KJARNI_DEVICE_TIMEOUT_S or off)")
+    ap.add_argument("--tp", type=int, default=None, metavar="N",
+                    help="tensor-parallel decoder models over N chips")
+    ap.add_argument("--dp", type=int, default=None, metavar="N",
+                    help="data-parallel encoder models over N chips")
     args = ap.parse_args(argv)
     server = serve(args.host, args.port,
                    default_models=parse_model_overrides(args.models),
@@ -373,7 +385,8 @@ def main(argv=None) -> int:
                    batch_window_ms=args.batch_window_ms,
                    scheduler=args.scheduler,
                    draft_model=args.draft_model,
-                   request_timeout_s=args.device_timeout)
+                   request_timeout_s=args.device_timeout,
+                   tp=args.tp, dp=args.dp)
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

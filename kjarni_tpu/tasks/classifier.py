@@ -41,6 +41,7 @@ class Classifier:
                  cache_dir: Optional[Path] = None,
                  labels: Optional[Sequence[str]] = None,
                  multi_label: Optional[bool] = None,
+                 dp: Optional[int] = None,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -49,7 +50,8 @@ class Classifier:
             model, cache_dir, policy, quiet, _CLASSIFIER_TASKS, "classification")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._clf = SequenceClassifier(model_dir, device=self.device)
+        # dp=N shards classify batches data-parallel over N chips
+        self._clf = SequenceClassifier(model_dir, device=self.device, dp=dp)
         if labels is not None:
             expected = len(self._clf.labels or [])
             if expected and len(labels) != expected:

@@ -38,6 +38,7 @@ class Embedder:
                  cache_dir: Optional[Path] = None,
                  pooling: PoolingStrategy | str = PoolingStrategy.MEAN,
                  normalize: bool = True,
+                 dp: Optional[int] = None,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -46,7 +47,8 @@ class Embedder:
             model, cache_dir, policy, quiet, _EMBEDDER_TASKS, "embedding")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._encoder = SentenceEncoder(model_dir, device=self.device)
+        # dp=N shards encode batches data-parallel over N chips
+        self._encoder = SentenceEncoder(model_dir, device=self.device, dp=dp)
         self.pooling = pooling
         self.normalize = normalize
 

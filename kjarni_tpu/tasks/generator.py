@@ -57,6 +57,7 @@ class Generator:
                  dtype: str = "auto",
                  quantize: Optional[str] = None,
                  execution_plan=None,
+                 tp: Optional[int] = None,
                  draft_model: Optional[str] = None,
                  draft_num_tokens: int = 4,
                  offline: bool = False,
@@ -67,8 +68,10 @@ class Generator:
             model, cache_dir, policy, quiet, _GENERATOR_TASKS, "generation")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
+        # tp=N shards the model tensor-parallel over N chips (parallel/mesh.py)
         self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
-                             quantize=quantize, execution_plan=execution_plan)
+                             quantize=quantize, execution_plan=execution_plan,
+                             tp=tp)
         # Speculative decoding: the generator owns the draft model so every
         # caller (Chat/CLI/serve) gets it — cf. decoder/generator.rs:56
         # loading the draft inside DecoderGenerator.

@@ -30,6 +30,7 @@ class Reranker:
     def __init__(self, model: str = "minilm-l6-v2-cross-encoder", *,
                  device: Device | str | None = None,
                  cache_dir: Optional[Path] = None,
+                 dp: Optional[int] = None,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -38,7 +39,8 @@ class Reranker:
             model, cache_dir, policy, quiet, _RERANKER_TASKS, "reranking")
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
-        self._ce = CrossEncoder(model_dir, device=self.device)
+        # dp=N data-parallelizes pair batches over N chips
+        self._ce = CrossEncoder(model_dir, device=self.device, dp=dp)
 
     def score(self, query: str, document: str) -> float:
         return self._ce.predict_pair(query, document)
