@@ -73,6 +73,26 @@ class Conversation:
     def turn_count(self) -> int:
         return sum(1 for m in self.messages if m.role != Role.SYSTEM)
 
+    def drop_oldest_turn(self) -> bool:
+        """Remove the oldest non-system turn (a user message plus its
+        assistant reply, if present). The latest message is never dropped —
+        long conversations forget their oldest turns, never the newest
+        request (cf. the reference's hard context stop, generator.rs:322;
+        here the product keeps going with a trimmed history instead).
+        Returns False when nothing more is droppable.
+        """
+        msgs = self.messages
+        for i, m in enumerate(msgs):
+            if m.role == Role.SYSTEM:
+                continue
+            if i >= len(msgs) - 1:
+                return False  # only the newest message remains
+            del msgs[i]
+            if i < len(msgs) - 1 and msgs[i].role == Role.ASSISTANT:
+                del msgs[i]
+            return True
+        return False
+
     def __len__(self) -> int:
         return len(self.messages)
 

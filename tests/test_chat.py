@@ -159,3 +159,39 @@ class TestConversationKvReuse:
         b = lm.generate("hello world the doctor and a", config=cfg)
         lm2 = DecoderLM(llama_dir, max_context=64)
         assert lm2.generate("hello world the doctor and a", config=cfg) == b
+
+
+class TestChatContextTrimming:
+    """A conversation exceeding max_context drops its OLDEST turns; the
+    system prompt and the newest user message always survive into the
+    prompt actually prefilled (VERDICT r2 item 3)."""
+
+    def test_latest_message_survives(self, llama_dir):
+        chat = Chat(str(llama_dir), system_prompt="be brief", max_context=48)
+        kw = dict(preset="greedy", max_new_tokens=2, max_length=10_000)
+        for i in range(6):
+            chat.send("the doctor and the physician went to work", **kw)
+        final = "keeping data safe"
+        chat.send(final, **kw)
+        # the ids actually materialized in the cache = trimmed prompt + reply
+        prefilled = chat.lm.tokenizer.decode(chat.lm._session_ids)
+        assert final in prefilled
+        # system prompt survived the trim
+        assert chat.conversation.system_prompt == "be brief"
+        # and old turns were actually dropped
+        assert chat.conversation.turn_count() < 14
+
+    def test_drop_oldest_turn_semantics(self):
+        from kjarni_tpu.chat_templates import Conversation
+        c = Conversation.with_system("sys")
+        c.push_user("u1"); c.push_assistant("a1")
+        c.push_user("u2"); c.push_assistant("a2")
+        c.push_user("u3")
+        assert c.drop_oldest_turn()
+        contents = [m.content for m in c.messages]
+        assert contents == ["sys", "u2", "a2", "u3"]
+        assert c.drop_oldest_turn()
+        assert [m.content for m in c.messages] == ["sys", "u3"]
+        # the newest message is never dropped
+        assert not c.drop_oldest_turn()
+        assert [m.content for m in c.messages] == ["sys", "u3"]
