@@ -84,12 +84,12 @@ class ContinuousEngine:
     Usage:
         eng = ContinuousEngine(lm, slots=8)
         rid = eng.submit("prompt", max_new_tokens=64)   # joins mid-decode
-        eng.step()                                      # one token, all slots
+        eng.step()                   # one fused window (k tokens), all slots
         done = eng.drain()                              # finished requests
     """
 
     def __init__(self, lm, slots: int = 8, max_context: Optional[int] = None,
-                 no_repeat_ngram_size: int = 0):
+                 no_repeat_ngram_size: int = 0, steps_per_sync: int = 8):
         self.lm = lm
         self.family = lm.family   # llama family or gpt2: same forward shape
         self.cfg = lm.config
@@ -132,6 +132,11 @@ class ContinuousEngine:
         self._queue: list[tuple] = []                   # waiting requests
         self._finished: list[FinishedRequest] = []
         self._prefill_cache: dict[int, any] = {}
+        # k decode iterations fused per host dispatch (lax.fori_loop inside
+        # the jitted step): slots join/leave at k-token granularity, and the
+        # per-token host roundtrip (≈30 ms over a remote-device tunnel) is
+        # amortized k×. k=1 reproduces per-token stepping exactly.
+        self.steps_per_sync = max(int(steps_per_sync), 1)
         self._step_fn = self._build_step()
         self._first_fn = self._build_first()
 
@@ -141,15 +146,20 @@ class ContinuousEngine:
         cfg = self.cfg
         fwd = self.family.forward
         ngram = self.no_repeat_ngram_size
+        k_steps = self.steps_per_sync
 
         @partial(jax.jit, donate_argnums=(2, 3))
         def step(params, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p,
                  pen, ngram_on, hist, hist_len):
             # vmap the B=1 forward over the slot axis: each slot attends its
             # own cache at its own frontier and samples with its own params
-            # and PRNG key; one dispatch for all slots
-            def one(tok, ck1, cv1, p, key, t, tk, tp, mp, pe, ng, h, hl):
-                logits, ck1, cv1 = fwd(params, cfg, tok[None, None], ck1, cv1, p)
+            # and PRNG key — then fuse k such iterations in one dispatch
+            # (lax.fori_loop), advancing tokens, caches, PRNG streams, and
+            # the penalty-history ring entirely on device. The host only
+            # sees the [S, k] token block.
+            def one(i, tok, ck1, cv1, p, key, t, tk, tp, mp, pe, ng, h, hl):
+                logits, ck1, cv1 = fwd(params, cfg, tok[None, None], ck1, cv1,
+                                       p + i)
                 l = logits[0]
                 valid = jnp.arange(_HIST_BUF) < hl
                 l = apply_repetition_penalty(l, h, valid, pe)  # pe=1 → no-op
@@ -157,9 +167,28 @@ class ContinuousEngine:
                     l = jnp.where(ng, apply_no_repeat_ngram(l, h, hl, ngram), l)
                 key, sub = jax.random.split(key)
                 nxt = _sample_slot(l, sub, t, tk, tp, mp)
-                return nxt, ck1, cv1, key
-            return jax.vmap(one)(toks, ck, cv, pos, keys, temp, top_k,
-                                 top_p, min_p, pen, ngram_on, hist, hist_len)
+                # rolling history append (device twin of _note_token's
+                # host-side window update)
+                h_app = h.at[jnp.clip(hl, 0, _HIST_BUF - 1)].set(nxt)
+                h_roll = jnp.roll(h, -1).at[_HIST_BUF - 1].set(nxt)
+                h = jnp.where(hl >= _HIST_BUF, h_roll, h_app)
+                hl = jnp.minimum(hl + 1, _HIST_BUF)
+                return nxt, ck1, cv1, key, h, hl
+
+            def body(i, state):
+                toks, ck, cv, keys, hist, hist_len, out = state
+                toks, ck, cv, keys, hist, hist_len = jax.vmap(
+                    one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+                )(i, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p,
+                  pen, ngram_on, hist, hist_len)
+                out = out.at[:, i].set(toks)
+                return toks, ck, cv, keys, hist, hist_len, out
+
+            out = jnp.full((toks.shape[0], k_steps), -1, jnp.int32)
+            toks, ck, cv, keys, hist, hist_len, out = jax.lax.fori_loop(
+                0, k_steps, body,
+                (toks, ck, cv, keys, hist, hist_len, out))
+            return out, toks, ck, cv, keys, hist, hist_len
 
         return step
 
@@ -220,10 +249,16 @@ class ContinuousEngine:
                 "engine was built with no_repeat_ngram_size<=1; pass it to "
                 "ContinuousEngine(...) to enable per-request ngram blocking")
         ids = self.lm.encode_prompt(prompt, add_bos=True)
-        if len(ids) + max_new_tokens > self.T:
+        # worst-case cache frontier: prefill + full decode windows (a slot
+        # finishing mid-window still writes the whole k-token window)
+        k = self.steps_per_sync
+        windows = -(-(max_new_tokens - 1) // k) if max_new_tokens > 1 else 0
+        need = len(ids) + windows * k
+        if need > self.T:
             raise GenerationError(
                 f"prompt ({len(ids)} tokens) + max_new_tokens "
-                f"({max_new_tokens}) exceeds slot capacity {self.T}")
+                f"({max_new_tokens}, rounded up to the {k}-token decode "
+                f"window: {need} total) exceeds slot capacity {self.T}")
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, ids, max_new_tokens, sampling, seed,
@@ -279,19 +314,24 @@ class ContinuousEngine:
             self._last_tok[slot_idx] = int(tok)
             self._note_token(slot_idx, int(tok))
 
-    def _note_token(self, slot_idx: int, tok: int) -> None:
+    def _note_token(self, slot_idx: int, tok: int,
+                    update_hist: bool = True) -> None:
+        """Bookkeep one accepted token. update_hist=False when the device
+        already appended it to the history ring inside the fused step (the
+        host mirror was refreshed from the device output)."""
         slot = self._slots[slot_idx]
         if tok in self.lm.stop_token_ids:
             self._finish(slot_idx, "eos")
             return
         slot.generated.append(tok)
-        hl = int(self._hist_len[slot_idx])
-        if hl < _HIST_BUF:
-            self._hist[slot_idx, hl] = tok
-            self._hist_len[slot_idx] = hl + 1
-        else:   # rolling window: penalties see the last _HIST_BUF tokens
-            self._hist[slot_idx, :-1] = self._hist[slot_idx, 1:]
-            self._hist[slot_idx, -1] = tok
+        if update_hist:
+            hl = int(self._hist_len[slot_idx])
+            if hl < _HIST_BUF:
+                self._hist[slot_idx, hl] = tok
+                self._hist_len[slot_idx] = hl + 1
+            else:   # rolling window: penalties see the last _HIST_BUF tokens
+                self._hist[slot_idx, :-1] = self._hist[slot_idx, 1:]
+                self._hist[slot_idx, -1] = tok
         slot.remaining -= 1
         if slot.remaining <= 0:
             self._finish(slot_idx, "length")
@@ -316,25 +356,38 @@ class ContinuousEngine:
         return len(self._queue)
 
     def step(self) -> None:
-        """Decode one token for every active slot (single XLA dispatch)."""
+        """Decode one fused window (steps_per_sync tokens) for every active
+        slot — a single XLA dispatch and a single host sync.
+
+        A slot that finishes mid-window (EOS or budget) has its trailing
+        window tokens discarded; the capacity check in submit() reserves the
+        overshoot so the extra cache writes never clobber live positions.
+        """
         self._admit()   # freed slots pick up waiting requests first
         if self.num_active == 0:
             return
+        was_active = [s.active for s in self._slots]
         pos = np.array([s.pos for s in self._slots], np.int32)
-        toks, self.cache_k, self.cache_v, self._keys = self._step_fn(
-            self.lm.params, jnp.asarray(self._last_tok), self.cache_k,
-            self.cache_v, jnp.asarray(pos), self._keys,
-            jnp.asarray(self._temp), jnp.asarray(self._top_k),
-            jnp.asarray(self._top_p), jnp.asarray(self._min_p),
-            jnp.asarray(self._penalty), jnp.asarray(self._ngram_on),
-            jnp.asarray(self._hist), jnp.asarray(self._hist_len))
-        toks = np.asarray(toks)
+        out, last, self.cache_k, self.cache_v, self._keys, hist_d, hl_d = \
+            self._step_fn(
+                self.lm.params, jnp.asarray(self._last_tok), self.cache_k,
+                self.cache_v, jnp.asarray(pos), self._keys,
+                jnp.asarray(self._temp), jnp.asarray(self._top_k),
+                jnp.asarray(self._top_p), jnp.asarray(self._min_p),
+                jnp.asarray(self._penalty), jnp.asarray(self._ngram_on),
+                jnp.asarray(self._hist), jnp.asarray(self._hist_len))
+        out = np.asarray(out)                  # [S, k] token block
+        self._last_tok = np.asarray(last).copy()
+        self._hist = np.asarray(hist_d).copy()
+        self._hist_len = np.asarray(hl_d).copy()
         for i, slot in enumerate(self._slots):
-            if not slot.active:
+            if not was_active[i]:
                 continue
-            slot.pos += 1
-            self._last_tok[i] = int(toks[i])
-            self._note_token(i, int(toks[i]))
+            for j in range(out.shape[1]):
+                slot.pos += 1
+                self._note_token(i, int(out[i, j]), update_hist=False)
+                if not slot.active:
+                    break   # discard the rest of the window
 
     def drain(self) -> list[FinishedRequest]:
         out, self._finished = self._finished, []

@@ -142,9 +142,10 @@ class ContinuousRunner:
     results. Per-request sampling params ride along to the slot engine.
     """
 
-    def __init__(self, lm, *, slots: int = 8):
+    def __init__(self, lm, *, slots: int = 8, steps_per_sync: int = 8):
         from .generate.continuous import ContinuousEngine
-        self._engine = ContinuousEngine(lm, slots=slots)
+        self._engine = ContinuousEngine(lm, slots=slots,
+                                        steps_per_sync=steps_per_sync)
         self._cv = threading.Condition()
         self._incoming: list[_Request] = []
         self._by_rid: dict[int, _Request] = {}

@@ -181,3 +181,52 @@ class TestContinuousGpt2:
             cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=64)
             expected = [st.id for st in g.generate_stream(prompt, config=cfg)]
             assert done[rid].token_ids == expected
+
+
+class TestFusedWindow:
+    """steps_per_sync>1 fuses k decode steps per dispatch (VERDICT r2 item 2):
+    results must be invariant to the window size."""
+
+    def test_window_size_invariance(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        from kjarni_tpu.generate.sampling import SamplingParams
+        sp = SamplingParams(temperature=0.8, top_k=10, top_p=0.95, min_p=0.0)
+
+        def run(k):
+            eng = ContinuousEngine(lm, slots=3, steps_per_sync=k)
+            rids = [eng.submit(PROMPTS[0], max_new_tokens=9),
+                    eng.submit(PROMPTS[1], max_new_tokens=13,
+                               sampling=sp, seed=7),
+                    eng.submit(PROMPTS[2], max_new_tokens=5)]
+            done = {fr.request_id: fr.token_ids for fr in eng.run()}
+            return [done[r] for r in rids]
+
+        assert run(1) == run(8) == run(3)
+
+    def test_greedy_matches_unbatched_with_window(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2, steps_per_sync=4)
+        rid = eng.submit(PROMPTS[3], max_new_tokens=10)
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].token_ids == reference_tokens(lm, PROMPTS[3], 10)
+
+    def test_capacity_reserves_window_overshoot(self, lm):
+        from kjarni_tpu.core.errors import GenerationError
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=1, max_context=32, steps_per_sync=8)
+        # 3-token prompt (bos+2) + 2 windows of 8 = 19 <= 32 fits
+        eng.submit("hello world", max_new_tokens=17)
+        # max_new=26 passes the naive check (3+26=29 <= 32) but needs
+        # ceil(25/8)=4 full windows -> 3+32=35 > 32: must be rejected
+        with pytest.raises(GenerationError, match="exceeds slot capacity"):
+            eng.submit("hello world", max_new_tokens=26)
+        eng.run()
+
+    def test_join_at_window_boundary(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2, steps_per_sync=4)
+        eng.submit(PROMPTS[0], max_new_tokens=16)
+        eng.step()                                   # window 1 in flight
+        late = eng.submit(PROMPTS[1], max_new_tokens=8)   # joins next window
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[late].token_ids == reference_tokens(lm, PROMPTS[1], 8)
