@@ -172,6 +172,70 @@ class _Engine:
                 self._batchers[gen.model_id] = b
         return b
 
+    def _chat_session(self, body: dict):
+        """Per-session Chat sharing the base task's DecoderLM weights."""
+        model = body.get("model")
+        session = body.get("session", "default")
+        key = ("chat-session", model or self.defaults["chat"], session)
+        with self._creation_lock(key):
+            with self._lock:
+                chat = self._cache.get(key)
+            if chat is None:
+                from .tasks.chat import Chat
+                base = self.get("chat", model)
+                # Chat owns its conversation; construct per session but
+                # reuse the underlying DecoderLM weights from the base task
+                chat = Chat.__new__(Chat)
+                chat.device = base.device
+                chat.model_info = base.model_info
+                chat.model_id = base.model_id
+                chat._lm = base._lm
+                chat._spec = base._spec
+                from .chat_templates import Conversation
+                sp = base._lm.chat_template.default_system_prompt()
+                chat._conversation = (Conversation.with_system(sp) if sp
+                                      else Conversation())
+                with self._lock:
+                    self._cache[key] = chat
+        if body.get("reset"):
+            chat.clear_history(keep_system=True)
+        return chat, session
+
+    def handle_stream(self, path: str, body: dict):
+        """SSE path for {"stream": true} generate/chat requests.
+
+        Returns (token-text iterator, CancellationToken). The iterator holds
+        the model lock for its whole lifetime (closing it releases the lock);
+        cancelling the token stops the decode loop at the next step — the
+        handler cancels on client disconnect.
+        """
+        from .core.cancellation import CancellationToken
+        cancel = CancellationToken()
+        model = body.get("model")
+        if path == "/v1/generate":
+            gen = self.get("generate", model)
+            kw = {k: body[k] for k in ("max_new_tokens", "preset")
+                  if k in body}
+            lock = self._lm_lock(gen._lm)
+
+            def run():
+                with lock:
+                    for st in gen.generate_stream(
+                            body["prompt"], cancellation=cancel, **kw):
+                        yield st.text
+            return run(), cancel
+        if path == "/v1/chat":
+            chat, _session = self._chat_session(body)
+            lock = self._lm_lock(chat._lm)
+
+            def run():
+                with lock:
+                    for st in chat.stream(body["message"],
+                                          cancellation=cancel):
+                        yield st.text
+            return run(), cancel
+        raise KjarniError(f"streaming not supported for {path}")
+
     # ------------------------------------------------------------------
 
     def handle(self, path: str, body: dict) -> dict:
@@ -237,31 +301,7 @@ class _Engine:
                                    for m, r in self._continuous_runners.items()}}
         if path == "/v1/chat":
             # per-session conversation state: {"session": "abc"} isolates users
-            session = body.get("session", "default")
-            key = ("chat-session", body.get("model") or self.defaults["chat"],
-                   session)
-            with self._creation_lock(key):
-                with self._lock:
-                    chat = self._cache.get(key)
-                if chat is None:
-                    from .tasks.chat import Chat
-                    base = self.get("chat", model)
-                    # Chat owns its conversation; construct per session but
-                    # reuse the underlying DecoderLM weights from the base task
-                    chat = Chat.__new__(Chat)
-                    chat.device = base.device
-                    chat.model_info = base.model_info
-                    chat.model_id = base.model_id
-                    chat._lm = base._lm
-                    chat._spec = base._spec
-                    from .chat_templates import Conversation
-                    sp = base._lm.chat_template.default_system_prompt()
-                    chat._conversation = (Conversation.with_system(sp) if sp
-                                          else Conversation())
-                    with self._lock:
-                        self._cache[key] = chat
-            if body.get("reset"):
-                chat.clear_history(keep_system=True)
+            chat, session = self._chat_session(body)
             with self._lm_lock(chat._lm):
                 return {"reply": chat.send(body["message"]),
                         "session": session}
@@ -300,12 +340,45 @@ def make_handler(engine: _Engine):
             else:
                 self._reply(404, {"error": "not found"})
 
+        def _reply_sse(self, body: dict):
+            """Server-sent events: one `data:` frame per token, then [DONE].
+            First token reaches the client before generation completes;
+            client disconnect cancels the decode via the CancellationToken."""
+            from .core.watchdog import call_with_timeout
+            it, cancel = engine.handle_stream(self.path, body)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            timeout = engine.request_timeout_s
+            try:
+                while True:
+                    try:
+                        piece = call_with_timeout(lambda: next(it), timeout,
+                                                  f"stream {self.path}")
+                    except StopIteration:
+                        break
+                    self.wfile.write(
+                        b"data: " + json.dumps({"text": piece}).encode()
+                        + b"\n\n")
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+            except (BrokenPipeError, ConnectionResetError):
+                cancel.cancel()   # client went away: stop the decode loop
+            finally:
+                it.close()        # releases the model lock
+
         def do_POST(self):
             from .core.errors import DeviceTimeoutError
             from .core.watchdog import call_with_timeout
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                if body.get("stream") and self.path in ("/v1/generate",
+                                                        "/v1/chat"):
+                    self._reply_sse(body)
+                    return
                 out = call_with_timeout(
                     lambda: engine.handle(self.path, body),
                     engine.request_timeout_s, f"request {self.path}")
