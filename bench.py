@@ -102,13 +102,8 @@ def bench_decode(quantize=False):
     import jax.numpy as jnp
     from kjarni_tpu.models import llama as kllama
 
-    if quantize == "int4" and not kllama.int4_device_supported():
-        print(json.dumps({
-            "metric": "llama_1b_decode_int4_tok_per_sec", "value": 0,
-            "unit": "tok/s", "vs_baseline": 0,
-            "note": "backend lacks native int4 device support (axon dev "
-                    "tunnel device_put recurses); int4 is CPU-verified only"}))
-        return
+    # int4 stores packed two-per-int8-byte ("w4"), so it runs on every
+    # backend — including the axon tunnel that cannot device_put int4
     cfg, params = build_llama_1b(None, quantize)
     N = 64
     ck, cv = kllama.init_cache(cfg, 1, 2048, jnp.bfloat16)
@@ -139,12 +134,9 @@ def bench_decode(quantize=False):
                       "unit": "tok/s", "vs_baseline": round(tps / 100.0, 3)}))
 
 
-def bench_whisper():
-    """Whisper-small 30s-chunk transcription speed (xRT)."""
-    import jax
+def _whisper_small_params():
+    """Random-init whisper-small geometry (768/12/12, vocab 51865)."""
     import jax.numpy as jnp
-    import ml_dtypes
-    from kjarni_tpu.audio.mel import MelConfig, log_mel_spectrogram
     from kjarni_tpu.models import whisper as kwhisper
 
     cfg = kwhisper.WhisperConfig(
@@ -187,6 +179,19 @@ def bench_whisper():
               "dec_final_norm": {"weight": jnp.ones(H, dt),
                                  "bias": jnp.zeros(H, dt)},
               "lm_head": embed.T}
+    return cfg, params
+
+
+def bench_whisper():
+    """Whisper-small 30s-chunk transcription speed (xRT)."""
+    import jax
+    import jax.numpy as jnp
+    from kjarni_tpu.audio.mel import MelConfig, log_mel_spectrogram
+    from kjarni_tpu.models import whisper as kwhisper
+
+    cfg, params = _whisper_small_params()
+    dt = jnp.bfloat16
+    rng = np.random.default_rng(0)
     mel_cfg = MelConfig.whisper()
     audio = jnp.asarray(rng.standard_normal(16000 * 30) * 0.1, jnp.float32)
     MAX_STEPS = 100
@@ -224,6 +229,58 @@ def bench_whisper():
     print(json.dumps({"metric": "whisper_small_x_realtime",
                       "value": round(xrt, 1), "unit": "x_realtime",
                       "vs_baseline": round(xrt / 30.0, 3)}))
+
+
+def bench_whisper_long():
+    """Long-audio transcription through the REAL multi-chunk product path
+    (WhisperModel.transcribe: chunk -> mel+encode -> fused decode -> stitch),
+    5.5 minutes of synthetic audio (VERDICT r2 item 8 — guards the
+    single-chunk xRT number against regression in the chunk/stitch loop)."""
+    import io
+    import time as _time
+
+    from kjarni_tpu.models.whisper_transcriber import (WhisperModel,
+                                                       WhisperTranscriberConfig)
+    from kjarni_tpu.tokenizer import KjarniTokenizer
+
+    cfg, params = _whisper_small_params()
+    # tiny word tokenizer: random-weight argmax ids outside its vocab decode
+    # to nothing, which is fine — the bench measures the pipeline, not ASR
+    import tempfile
+    from pathlib import Path
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    vocab = {w: i for i, w in enumerate(
+        ["[UNK]"] + [f"w{i}" for i in range(64)])}
+    tk = Tokenizer(models.WordLevel(vocab, unk_token="[UNK]"))
+    tk.pre_tokenizer = pre_tokenizers.Whitespace()
+    with tempfile.TemporaryDirectory() as td:
+        p = Path(td) / "tokenizer.json"
+        tk.save(str(p))
+        tokenizer = KjarniTokenizer.from_file(p)
+    wm = WhisperModel.from_params(cfg, params, tokenizer)
+
+    secs = 330.0                                     # 5.5 min -> 11 chunks
+    rng = np.random.default_rng(1)
+    t = np.arange(int(16000 * secs)) / 16000.0
+    audio = (0.1 * np.sin(2 * np.pi * 220.0 * t)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+    n_chunks = len(wm.chunk_audio(audio))
+    assert n_chunks == 11, n_chunks
+    # ~64 tokens per 30s chunk models real speech density; random weights
+    # rarely emit EOT, so this also bounds the run
+    tcfg = WhisperTranscriberConfig(max_tokens_per_chunk=64)
+
+    wm.transcribe(audio[: 16000 * 30], tcfg)         # compile once
+    t0 = _time.perf_counter()
+    text, segments = wm.transcribe(audio, tcfg)
+    elapsed = _time.perf_counter() - t0
+    assert isinstance(text, str) and len(segments) >= 1
+    xrt = secs / elapsed
+    print(json.dumps({"metric": "whisper_small_long_audio_x_realtime",
+                      "value": round(xrt, 1), "unit": "x_realtime",
+                      "vs_baseline": round(xrt / 30.0, 3),
+                      "note": f"{n_chunks} chunks, {len(segments)} segments, "
+                              f"{elapsed:.1f}s wall"}))
 
 
 def bench_summarize():
@@ -316,7 +373,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--metric", default="embed",
                     choices=["embed", "decode", "decode-int8", "decode-int4",
-                             "whisper", "summarize"])
+                             "whisper", "whisper-long", "summarize"])
     args = ap.parse_args()
     if args.metric == "decode":
         return bench_decode(False)
@@ -326,6 +383,8 @@ def main():
         return bench_decode("int4")
     if args.metric == "whisper":
         return bench_whisper()
+    if args.metric == "whisper-long":
+        return bench_whisper_long()
     if args.metric == "summarize":
         return bench_summarize()
     bench_embed()

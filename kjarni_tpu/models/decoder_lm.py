@@ -116,11 +116,8 @@ class DecoderLM:
             if not isinstance(params.get("lm_head"), dict):
                 params = kllama.quantize_params_int8(params)
         elif quantize == "int4" and self.family is kllama:
-            if not kllama.int4_device_supported():
-                raise InvalidConfigError(
-                    "quantize='int4' needs a runtime with native int4 "
-                    "device support (the axon dev tunnel lacks it); use "
-                    "quantize='int8'")
+            # packed two-per-byte int4 ("w4"): works on every backend,
+            # including tunnels without native int4 device_put
             if not isinstance(params.get("lm_head"), dict):
                 params = kllama.quantize_params_int4(params)
         elif quantize not in (None, "int8", "int4"):

@@ -229,25 +229,46 @@ def rope_cache(cfg: DecoderConfig, length: Optional[int] = None,
     return cos.astype(dtype), sin.astype(dtype)
 
 
+def _unpack_int4(w4: jnp.ndarray) -> jnp.ndarray:
+    """[..., K/2, N] int8 (two nibbles per byte) -> [..., K, N] int8.
+
+    Low nibble holds row 2k, high nibble row 2k+1; arithmetic shifts
+    sign-extend, so values land back in [-8, 7]. XLA fuses the shift/convert
+    into the consuming matmul's read stream — HBM sees 0.5 bytes/weight.
+    """
+    lo = jnp.left_shift(w4, 4) >> 4            # sign-extended low nibble
+    hi = w4 >> 4                               # arithmetic: keeps sign
+    K2, N = w4.shape[-2], w4.shape[-1]
+    w = jnp.stack([lo, hi], axis=-2)           # [..., K/2, 2, N]
+    return w.reshape(*w4.shape[:-2], K2 * 2, N)
+
+
 def _mm(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     """Linear apply over a param dict; int8/int4 weight-only quant goes
     through XLA convert-fused matmul paths (int8 measured at full HBM
     bandwidth — 2.0x over bf16 weights on v5e; see ops/pallas/quant_matmul.py
-    for the story). int4 uses GROUP-WISE scales (GGUF-Q4-style accuracy):
-    w [K, N] int4 with scales [K/g, N]; the matmul runs per input-group with
-    the convert fused, partials are scale-weighted and summed."""
-    w = p["w"]
-    if w.dtype == jnp.int8:
-        y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
-    elif w.dtype == jnp.int4:
+    for the story). int4 stores two nibbles per int8 byte ("w4") so every
+    backend — including remote-device tunnels without native int4
+    device_put — carries 4x less weight traffic; scales are GROUP-WISE
+    (GGUF-Q4-style accuracy): scales [K/g, N], matmul per input-group with
+    the unpack+convert fused, partials scale-weighted and summed."""
+    if "w4" in p:
+        w4 = p["w4"]
+        scale = p["scale"]                     # [..., G, N]
+        w = _unpack_int4(w4).astype(x.dtype)   # [..., K, N]
         K, N = w.shape[-2], w.shape[-1]
-        scale = p["scale"]  # [..., K//g, N]
         G = scale.shape[-2]
         g = K // G
         xg = x.reshape(*x.shape[:-1], G, g)
-        wg = w.reshape(*w.shape[:-2], G, g, N).astype(x.dtype)
+        wg = w.reshape(*w.shape[:-2], G, g, N)
         partial = jnp.einsum("...Gg,Ggn->...Gn", xg, wg)
         y = jnp.einsum("...Gn,Gn->...n", partial, scale.astype(x.dtype))
+        if "b" in p:
+            y = y + p["b"]
+        return y
+    w = p["w"]
+    if w.dtype == jnp.int8:
+        y = (x @ w.astype(x.dtype)) * p["scale"].astype(x.dtype)
     else:
         y = x @ w
     if "b" in p:
@@ -256,29 +277,32 @@ def _mm(x: jnp.ndarray, p: dict) -> jnp.ndarray:
 
 
 def int4_device_supported() -> bool:
-    """Whether the current backend can hold int4 arrays. Native cpu/tpu/gpu
-    runtimes pack int4; the axon dev tunnel (which registers as platform
-    'tpu' but proxies device_put) recurses on int4 — and probing by attempt
-    hangs for minutes, so this gates on the tunnel's env marker. Callers
-    gate quantize='int4' on this."""
-    import os
-    try:
-        backend = jax.default_backend()
-    except Exception:  # noqa: BLE001
-        return False
-    if backend == "cpu":
-        return True  # CPU packs int4 natively regardless of env
-    if os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return False  # axon tunnel (registers as 'tpu'): device_put recurses
-    return backend in ("tpu", "gpu", "cuda", "rocm")
+    """Always true: int4 weights store packed two-per-int8-byte ("w4"), so
+    device_put only ever moves int8 — no backend needs native int4 support
+    (the axon dev tunnel's device_put recurses on real int4 arrays, which is
+    why the packed representation exists). Kept for API compatibility with
+    the round-2 gate."""
+    return True
+
+
+def pack_int4(q: np.ndarray) -> np.ndarray:
+    """[..., K, N] int8 in [-8, 7] -> [..., K/2, N] int8, two nibbles/byte.
+
+    Row 2k goes in the low nibble, row 2k+1 in the high nibble (the inverse
+    of _unpack_int4). K must be even.
+    """
+    lo = (q[..., 0::2, :] & 0xF).astype(np.uint8)
+    hi = (q[..., 1::2, :] & 0xF).astype(np.uint8)
+    return ((hi << 4) | lo).view(np.int8)
 
 
 def quantize_params_int4(params: dict, group_size: int = 128) -> dict:
     """Group-wise int4 weight-only quantization (TPU analogue of the
     reference's Q4_K path, cpu/kernels/x86/q4_k.rs): each [group_size]-long
     slice of the input dim gets its own scale, recovering most of the
-    accuracy per-channel int4 loses. Weights store as jnp int4 (packed two
-    per byte in TPU HBM — 4x less weight traffic than bf16)."""
+    accuracy per-channel int4 loses. Weights store PACKED two-per-int8-byte
+    ({"w4": [.., K/2, N] int8, "scale": [.., K/g, N]}) — 4x less HBM weight
+    traffic than bf16, and device_put never sees an int4 dtype."""
     import numpy as _np
 
     def quant(w):
@@ -291,24 +315,19 @@ def quantize_params_int4(params: dict, group_size: int = 128) -> dict:
         scale = absmax / 7.0
         q = _np.clip(_np.round(wg / scale[..., None, :]), -8, 7)
         q = q.reshape(w32.shape).astype(_np.int8)
-        return q, scale.astype(_np.float32)
-
-    import ml_dtypes
-    # host-side int4 conversion: device-side int8->int4 convert recurses in
-    # the axon backend's dispatch; ml_dtypes.int4 keeps it in numpy
-    to_int4 = lambda a: a.astype(ml_dtypes.int4)
+        return pack_int4(q), scale.astype(_np.float32)
 
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("q", "k", "v", "o", "gate", "up", "down"):
         entry = dict(layers[name])
-        qw, sc = quant(entry["w"])
-        entry["w"] = to_int4(qw)
+        qw, sc = quant(entry.pop("w"))
+        entry["w4"] = qw
         entry["scale"] = sc
         layers[name] = entry
     out["layers"] = layers
     qw, sc = quant(np.asarray(params["lm_head"]))
-    out["lm_head"] = {"w": to_int4(qw), "scale": sc}
+    out["lm_head"] = {"w4": qw, "scale": sc}
     return out
 
 

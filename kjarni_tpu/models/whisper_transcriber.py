@@ -107,6 +107,22 @@ class WhisperModel:
         self.params = jax.tree.map(jnp.asarray,
                                    kwhisper.load_params(ws, cfg, dtype))
         self.tokenizer = KjarniTokenizer.from_file(model_dir / "tokenizer.json")
+        self._init_runtime()
+
+    @classmethod
+    def from_params(cls, cfg, params, tokenizer) -> "WhisperModel":
+        """Build from in-memory params (bench/synthetic use — same jitted
+        runtime as the disk path, no checkpoint required)."""
+        self = cls.__new__(cls)
+        self.model_dir = None
+        self.config = cfg
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.tokenizer = tokenizer
+        self._init_runtime()
+        return self
+
+    def _init_runtime(self):
+        cfg = self.config
         self.mel_config = MelConfig.whisper(n_mels=cfg.num_mel_bins)
         # suppression: allow text tokens, EOS, and (optionally) timestamps
         ids = np.arange(cfg.vocab_size)

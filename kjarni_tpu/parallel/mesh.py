@@ -54,18 +54,23 @@ def llama_param_sharding(mesh: Mesh, params: Optional[dict] = None) -> dict:
     row-parallel ones); pass `params` so a quantized {"w","scale"} lm_head
     gets its dict-form spec.
     """
-    # "scale" ([L, out]) follows the sharded output dim on column-parallel
-    # layers; on row-parallel layers the output dim is unsharded -> replicated
-    col = {"w": _ns(mesh, None, None, "tp"), "scale": _ns(mesh, None, "tp")}
+    # int8 "scale" ([L, out]) follows the sharded output dim on
+    # column-parallel layers; on row-parallel layers the output dim is
+    # unsharded -> replicated. Packed int4 "w4" ([L, in/2, out]) shards like
+    # "w"; its rank-3 group scale falls back to replication (tiny tensors).
+    col = {"w": _ns(mesh, None, None, "tp"), "w4": _ns(mesh, None, None, "tp"),
+           "scale": _ns(mesh, None, "tp")}
     col_b = {"w": _ns(mesh, None, None, "tp"), "b": _ns(mesh, None, "tp"),
-             "scale": _ns(mesh, None, "tp")}
-    row = {"w": _ns(mesh, None, "tp", None), "scale": _ns(mesh, None, None)}
+             "w4": _ns(mesh, None, None, "tp"), "scale": _ns(mesh, None, "tp")}
+    row = {"w": _ns(mesh, None, "tp", None), "w4": _ns(mesh, None, "tp", None),
+           "scale": _ns(mesh, None, None)}
     rep1 = _ns(mesh, None)
     rep2 = _ns(mesh, None, None)
 
     lm_head = _ns(mesh, None, "tp")
     if params is not None and isinstance(params.get("lm_head"), dict):
-        lm_head = {"w": _ns(mesh, None, "tp"), "scale": _ns(mesh, "tp")}
+        lm_head = {"w": _ns(mesh, None, "tp"), "w4": _ns(mesh, None, "tp"),
+                   "scale": _ns(mesh, "tp")}
 
     return {
         "embed": rep2,
@@ -98,7 +103,10 @@ def _match_structure(params: dict, shardings: dict, mesh: Mesh):
         if leaf is None or isinstance(s, dict):
             return rep
         ndim = getattr(leaf, "ndim", None)
-        if ndim is None or len(s.spec) > ndim:
+        # exact rank match required: applying a lower-rank spec to a
+        # higher-rank leaf would shard the wrong axes (e.g. the rank-2 int8
+        # "scale" spec against a rank-3 int4 group scale)
+        if ndim is None or (len(s.spec) != ndim and len(s.spec) > 0):
             return rep
         for dim, ax in zip(leaf.shape, s.spec):
             if ax is None:

@@ -224,11 +224,12 @@ class TestInt4Quantized:
         lm32 = DecoderLM(d, dtype="f32", max_context=64)
         lm4 = DecoderLM(d, dtype="f32", max_context=64, quantize="int4")
         import jax.numpy as jnp
-        assert lm4.params["layers"]["q"]["w"].dtype == jnp.int4
-        # group-wise scales: [L, K/g, N] (g = min(128, K))
+        # packed representation: two int4 nibbles per int8 byte, K halved
         qw = lm4.params["layers"]["q"]
-        assert qw["scale"].shape[-2] == qw["w"].shape[-2] // min(
-            128, qw["w"].shape[-2])
+        assert "w" not in qw and qw["w4"].dtype == jnp.int8
+        K = qw["w4"].shape[-2] * 2
+        # group-wise scales: [L, K/g, N] (g = min(128, K))
+        assert qw["scale"].shape[-2] == K // min(128, K)
         import numpy as np
         from kjarni_tpu.models import llama as kllama
         ids = jnp.asarray([[5, 9, 23, 12]])
@@ -260,8 +261,10 @@ class TestInt4Quantized:
                              ("q", "k", "v", "o", "gate", "up", "down")},
                   "lm_head": w}
         q4 = quantize_params_int4(params, group_size=64)
-        deq = (np.asarray(q4["layers"]["q"]["w"][0], np.float32)
-               .reshape(4, 64, 64) *
+        from kjarni_tpu.models.llama import _unpack_int4
+        unpacked = np.asarray(_unpack_int4(q4["layers"]["q"]["w4"][0]),
+                              np.float32)
+        deq = (unpacked.reshape(4, 64, 64) *
                q4["layers"]["q"]["scale"][0][:, None, :]).reshape(256, 64)
         err_group = np.abs(deq - w).mean()
         # per-channel int4 reference
@@ -395,3 +398,26 @@ class TestLongPromptTruncation:
                              logger="kjarni_tpu.models.decoder_lm"):
             lm.generate(token_ids=list(range(5, 45)), config=cfg)
         assert any("newest" in r.message for r in caplog.records)
+
+
+class TestInt4Packing:
+    def test_pack_unpack_roundtrip(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from kjarni_tpu.models.llama import _unpack_int4, pack_int4
+        rng = np.random.default_rng(1)
+        q = rng.integers(-8, 8, (6, 10, 4)).astype(np.int8)
+        packed = pack_int4(q)
+        assert packed.shape == (6, 5, 4) and packed.dtype == np.int8
+        np.testing.assert_array_equal(
+            np.asarray(_unpack_int4(jnp.asarray(packed))), q)
+
+    def test_int4_tp_matches_single_device(self, llama_dir):
+        """Packed int4 + tensor parallelism compose (w4 shards like w)."""
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=6, max_length=64)
+        ref = DecoderLM(d, dtype="f32", max_context=64,
+                        quantize="int4").generate("hello world", config=cfg)
+        got = DecoderLM(d, dtype="f32", max_context=64, quantize="int4",
+                        tp=2).generate("hello world", config=cfg)
+        assert got == ref
