@@ -195,6 +195,8 @@ def _model_overrides(model: str) -> dict:
         out["quantize"] = ov["quantize"]
     if "execution_plan" in ov:
         out["execution_plan"] = ov["execution_plan"]
+    if "tp" in ov:
+        out["tp"] = int(ov["tp"])
     return out
 
 
