@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 K, N, GROUP = 2048, 8192, 128
-ITERS = 200
+ITERS = 5000
 
 
 def main():
@@ -94,6 +94,10 @@ def main():
                 * s4j[G // 2:, None, :].astype(x.dtype)).reshape(K // 2, N)
         return x[:, : K // 2] @ w_lo + x[:, K // 2:] @ w_hi
 
+    def mm_int4_pallas(x, w4h, s4j):
+        from kjarni_tpu.ops.pallas.int4_matvec import int4_matvec
+        return int4_matvec(x, w4h, s4j)
+
     def mm_int4_halves_noscale(x, w4h, s_col):
         # isolate the dequant-mul: per-column scale applied AFTER the dot —
         # only the nibble shifts ride the operand chain
@@ -116,6 +120,7 @@ def main():
                 "int4_deq": (mm_int4_deq, (w4, s4j)),
                 "int4_deq_nodup": (mm_int4_deq_nodup, (w4, s4j)),
                 "int4_halves": (mm_int4_halves, (w4h, s4j)),
+                "int4_pallas": (mm_int4_pallas, (w4h, s4j)),
                 "int4_halves_noscale": (mm_int4_halves_noscale,
                                         (w4h, s_col))}
 
@@ -159,7 +164,8 @@ def main():
                               "us_per_matvec": round(us, 1)}))
     bytes_per = {"bf16": 2.0, "int8": 1.0, "int4_group": 0.5,
                  "int4_deq": 0.5, "int4_deq_nodup": 0.5,
-                 "int4_halves": 0.5, "int4_halves_noscale": 0.5}
+                 "int4_halves": 0.5, "int4_pallas": 0.5,
+                 "int4_halves_noscale": 0.5}
     summary = {}
     for name, times in results.items():
         best = min(times)
