@@ -232,15 +232,17 @@ def rope_cache(cfg: DecoderConfig, length: Optional[int] = None,
 def _unpack_int4(w4: jnp.ndarray) -> jnp.ndarray:
     """[..., K/2, N] int8 (two nibbles per byte) -> [..., K, N] int8.
 
-    Low nibble holds row 2k, high nibble row 2k+1; arithmetic shifts
-    sign-extend, so values land back in [-8, 7]. XLA fuses the shift/convert
-    into the consuming matmul's read stream — HBM sees 0.5 bytes/weight.
+    HALF-SPLIT layout: the low nibble holds row k, the high nibble row
+    k + K/2 — so unpack is two sign-extending shifts and a concat, with NO
+    row interleave. This matters: an interleaving stack+reshape between the
+    unpack and the consuming dot blocks XLA's operand fusion and forces the
+    dequantized [K, N] matrix to materialize (measured 240 us vs 38 us per
+    llama-1B gate matvec, scripts/int4_formulation_bench.py); the half-split
+    chain fuses like the int8 convert does.
     """
     lo = jnp.left_shift(w4, 4) >> 4            # sign-extended low nibble
     hi = w4 >> 4                               # arithmetic: keeps sign
-    K2, N = w4.shape[-2], w4.shape[-1]
-    w = jnp.stack([lo, hi], axis=-2)           # [..., K/2, 2, N]
-    return w.reshape(*w4.shape[:-2], K2 * 2, N)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def _mm(x: jnp.ndarray, p: dict) -> jnp.ndarray:
@@ -253,16 +255,28 @@ def _mm(x: jnp.ndarray, p: dict) -> jnp.ndarray:
     (GGUF-Q4-style accuracy): scales [K/g, N], matmul per input-group with
     the unpack+convert fused, partials scale-weighted and summed."""
     if "w4" in p:
-        w4 = p["w4"]
-        scale = p["scale"]                     # [..., G, N]
-        w = _unpack_int4(w4).astype(x.dtype)   # [..., K, N]
-        K, N = w.shape[-2], w.shape[-1]
+        # Half-split packed int4: y = x_lo @ deq(lo) + x_hi @ deq(hi).
+        # Each half is a single dot whose operand chain (shift, convert,
+        # group-scale multiply) XLA fuses into the read stream — no
+        # materialized dequant matrix, 0.5 HBM bytes/weight
+        # (scripts/int4_formulation_bench.py: 38.6 us vs 240 us for the
+        # grouped-einsum form at llama-1B gate shape).
+        w4 = p["w4"]                           # [K/2, N]
+        scale = p["scale"]                     # [G, N]
+        lo = (jnp.left_shift(w4, 4) >> 4).astype(x.dtype)
+        hi = (w4 >> 4).astype(x.dtype)
+        K2, N = w4.shape[-2], w4.shape[-1]
         G = scale.shape[-2]
-        g = K // G
-        xg = x.reshape(*x.shape[:-1], G, g)
-        wg = w.reshape(*w.shape[:-2], G, g, N)
-        partial = jnp.einsum("...Gg,Ggn->...Gn", xg, wg)
-        y = jnp.einsum("...Gn,Gn->...n", partial, scale.astype(x.dtype))
+        s = scale.astype(x.dtype)
+        if G == 1:
+            w_lo = lo * s[0]
+            w_hi = hi * s[0]
+        else:
+            g = (2 * K2) // G
+            G2 = G // 2
+            w_lo = (lo.reshape(G2, g, N) * s[:G2, None, :]).reshape(K2, N)
+            w_hi = (hi.reshape(G2, g, N) * s[G2:, None, :]).reshape(K2, N)
+        y = x[..., :K2] @ w_lo + x[..., K2:] @ w_hi
         if "b" in p:
             y = y + p["b"]
         return y
@@ -288,11 +302,13 @@ def int4_device_supported() -> bool:
 def pack_int4(q: np.ndarray) -> np.ndarray:
     """[..., K, N] int8 in [-8, 7] -> [..., K/2, N] int8, two nibbles/byte.
 
-    Row 2k goes in the low nibble, row 2k+1 in the high nibble (the inverse
-    of _unpack_int4). K must be even.
+    HALF-SPLIT: row k in the low nibble, row k + K/2 in the high nibble
+    (the inverse of _unpack_int4; see its docstring for why not
+    interleaved). K must be even.
     """
-    lo = (q[..., 0::2, :] & 0xF).astype(np.uint8)
-    hi = (q[..., 1::2, :] & 0xF).astype(np.uint8)
+    K2 = q.shape[-2] // 2
+    lo = (q[..., :K2, :] & 0xF).astype(np.uint8)
+    hi = (q[..., K2:, :] & 0xF).astype(np.uint8)
     return ((hi << 4) | lo).view(np.int8)
 
 
@@ -308,7 +324,9 @@ def quantize_params_int4(params: dict, group_size: int = 128) -> dict:
     def quant(w):
         w32 = _np.asarray(w, dtype=_np.float32)
         K, N = w32.shape[-2], w32.shape[-1]
-        g = group_size if K % group_size == 0 else K
+        # half-split packing needs an even group count (each half scales
+        # with its own contiguous groups); otherwise collapse to per-matrix
+        g = group_size if K % (2 * group_size) == 0 else K
         G = K // g
         wg = w32.reshape(*w32.shape[:-2], G, g, N)
         absmax = _np.maximum(_np.abs(wg).max(axis=-2), 1e-8)  # [..., G, N]
@@ -475,16 +493,15 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
                 ctx = merge_heads(flash_attention(
                     q, k, v, causal=True, window=cfg.sliding_window))
             else:
-                # cache-reuse (chunked) prefill: 256/512 blocks measured 1.6x
-                # over the 128/128 defaults at this shape (v5e, llama-1B,
-                # scripts/chunked_prefill_bench.py); 512/1024 is
-                # compile-pathological on the remote compiler — do not raise
+                # cache-reuse (chunked) prefill; block sizes come from the
+                # measured table (flash_attention.pick_blocks: 256/512 = 1.6x
+                # over 128/128 at llama-1B reuse shapes; 512/1024 forbidden —
+                # compile-pathological on the remote compiler)
                 ks = jax.lax.slice_in_dim(k_full, 0, kb, axis=2)
                 vs = jax.lax.slice_in_dim(v_full, 0, kb, axis=2)
                 ctx = merge_heads(flash_attention(
                     q, ks, vs, causal=True, window=cfg.sliding_window,
-                    q_offset=pos_start, kv_len=pos_start + S,
-                    block_q=256, block_k=512))
+                    q_offset=pos_start, kv_len=pos_start + S))
         else:
             ctx = merge_heads(attention(q, k_full, v_full, bias))
         h = h + _mm(ctx, lp["o"])

@@ -41,6 +41,26 @@ DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 
 
+def pick_blocks(S: int, T: int, D: int) -> tuple[int, int]:
+    """Measured block-size table (VERDICT r2 item 6).
+
+    Seeded from v5e measurements at llama-1B reuse shapes
+    (scripts/chunked_prefill_bench.py): 256/512 is 1.6x faster than 128/128
+    (44.7 ms vs 71.6 ms at S=512 over T=4096, D=64); 512/1024 is
+    COMPILE-PATHOLOGICAL on the remote compiler (>30 min, killed) and must
+    never be emitted. Small shapes stay at 128/128 — larger tiles only pay
+    when there are enough k-blocks to stream.
+    """
+    bq = 256 if S >= 256 else DEFAULT_BLOCK_Q
+    if T >= 2048:
+        bk = 512
+    elif T >= 512:
+        bk = 256
+    else:
+        bk = DEFAULT_BLOCK_K
+    return bq, bk
+
+
 def _flash_kernel(info_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
                   *, scale: float, causal: bool, block_q: int, block_k: int,
                   seq_pad: int, window: int | None = None):
@@ -116,8 +136,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                     causal: bool = False, scale: float | None = None,
                     window: int | None = None,
                     q_offset=None, kv_len=None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K,
+                    block_q: int | None = None,
+                    block_k: int | None = None,
                     interpret: bool = False) -> jnp.ndarray:
     """q [B, H, S, D], k/v [B, Hkv, T, D] -> [B, H, S, D].
 
@@ -137,8 +157,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     if scale is None:
         scale = 1.0 / (D ** 0.5)
 
-    block_q = min(block_q, max(8, S))
-    block_k = min(block_k, max(8, T))
+    auto_q, auto_k = pick_blocks(S, T, D)
+    block_q = min(block_q or auto_q, max(8, S))
+    block_k = min(block_k or auto_k, max(8, T))
     S_pad = -(-S // block_q) * block_q
     T_pad = -(-T // block_k) * block_k
     # [B, H, S, D] -> [B, Hkv, G, S_pad, D] -> [B*Hkv, G*S_pad, D]:

@@ -193,3 +193,37 @@ class TestCacheOffset:
                                        atol=3e-4, rtol=1e-3)
         finally:
             fa.flash_attention = orig
+
+
+class TestBlockAutotune:
+    """Measured block-size table (VERDICT r2 item 6)."""
+
+    def test_table_points(self):
+        from kjarni_tpu.ops.pallas.flash_attention import pick_blocks
+        # llama-1B reuse shape: the measured 1.6x winner
+        assert pick_blocks(512, 4096, 64) == (256, 512)
+        # small shapes keep the conservative defaults
+        assert pick_blocks(64, 256, 64) == (128, 128)
+        # mid shapes stay within the measured-safe hull
+        assert pick_blocks(512, 1024, 64) == (256, 256)
+        # the compile-pathological 512/1024 config is never emitted
+        for s in (128, 512, 2048, 8192):
+            for t in (128, 512, 4096, 16384):
+                bq, bk = pick_blocks(s, t, 64)
+                assert (bq, bk) != (512, 1024)
+                assert bq <= 256 and bk <= 512
+
+    def test_autotuned_blocks_match_reference(self):
+        """Auto-picked 256-class blocks must be numerically identical to the
+        explicit 128/128 kernel (interpret mode)."""
+        from kjarni_tpu.ops.pallas.flash_attention import flash_attention
+        rng = np.random.default_rng(9)
+        q = jnp.asarray(rng.standard_normal((1, 4, 256, 32)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 2, 640, 32)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 2, 640, 32)), jnp.float32)
+        ref = flash_attention(q, k, v, causal=True, q_offset=384, kv_len=640,
+                              block_q=128, block_k=128, interpret=True)
+        got = flash_attention(q, k, v, causal=True, q_offset=384, kv_len=640,
+                              interpret=True)   # table: (256, 256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
