@@ -258,6 +258,11 @@ def bench_whisper_long():
         tk.save(str(p))
         tokenizer = KjarniTokenizer.from_file(p)
     wm = WhisperModel.from_params(cfg, params, tokenizer)
+    # random weights tend to argmax EOT immediately (identical near-silent
+    # chunks), which would skip the decode loop entirely; suppress EOT so
+    # every chunk decodes the full token budget — worst-case speech density
+    from kjarni_tpu.models.whisper_transcriber import EOT_TOKEN
+    wm._allow_no_ts = wm._allow_no_ts.at[EOT_TOKEN].set(False)
 
     secs = 330.0                                     # 5.5 min -> 11 chunks
     rng = np.random.default_rng(1)
@@ -274,7 +279,9 @@ def bench_whisper_long():
     t0 = _time.perf_counter()
     text, segments = wm.transcribe(audio, tcfg)
     elapsed = _time.perf_counter() - t0
-    assert isinstance(text, str) and len(segments) >= 1
+    # random weights may emit only special tokens (empty text/segments) —
+    # the bench times the real chunk/stitch pipeline, not ASR quality
+    assert isinstance(text, str)
     xrt = secs / elapsed
     print(json.dumps({"metric": "whisper_small_long_audio_x_realtime",
                       "value": round(xrt, 1), "unit": "x_realtime",
