@@ -423,7 +423,7 @@ def bench_embed():
     @jax.jit
     def bench_loop(params, ids0):
         def body(ids, _):
-            hidden = kbert.encode(params, cfg, ids, mask, tt)
+            hidden = kbert.encode_auto(params, cfg, ids, mask, tt)
             pooled = mean_pool(hidden, mask)
             # zero-valued but data-dependent perturbation chains the iterations
             delta = (jnp.abs(pooled[:, :1]) * 0).astype(jnp.int32)

@@ -338,23 +338,92 @@ def _mpnet_position_bias(rel_bias: jnp.ndarray, seq_len: int, cfg: BertConfig) -
     return bias.transpose(2, 0, 1)[None]  # [1, H, S, S]
 
 
+def _abs_positions(cfg: BertConfig, input_ids: jnp.ndarray,
+                   attention_mask: jnp.ndarray) -> Optional[jnp.ndarray]:
+    """Per-row absolute position ids (None for rotary models)."""
+    if cfg.rotary_emb_base > 0:
+        return None  # rotary models have no absolute position embeddings
+    if cfg.position_offset > 0:
+        # roberta/mpnet position ids: cumsum over the mask, pads pinned to pad idx
+        mask_i = attention_mask.astype(jnp.int32)
+        return jnp.cumsum(mask_i, axis=1) * mask_i + cfg.pad_token_id
+    positions = jnp.arange(input_ids.shape[1])[None, :]
+    return jnp.broadcast_to(positions, input_ids.shape)
+
+
 def encode(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
            attention_mask: jnp.ndarray,
            token_type_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Full encoder forward: [B, S] ids -> [B, S, H] hidden states."""
+    bias = padding_bias(attention_mask)
+    if params.get("rel_bias") is not None:
+        bias = bias + _mpnet_position_bias(params["rel_bias"],
+                                           input_ids.shape[1], cfg)
+    return _encode_core(params, cfg, input_ids,
+                        _abs_positions(cfg, input_ids, attention_mask),
+                        token_type_ids, bias,
+                        jnp.arange(input_ids.shape[1]))
+
+
+def encode_packed_pairs(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
+                        attention_mask: jnp.ndarray,
+                        token_type_ids: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
+    """encode() with two sequences packed per kernel row.
+
+    [B, S] rows (B even) run as [B/2, 2S] with BLOCK-DIAGONAL attention,
+    per-half positions, and per-half relative/rotary patterns — numerically
+    the same hidden states, returned at [B, S, H]. At the MiniLM S=64 shape
+    this measures 1.31x over the row-per-sequence form on v5e
+    (scripts/encoder_pack2.py): fewer, fuller attention/softmax programs
+    amortize the f32-score VPU work that dominates short rows.
+    """
+    B, S = input_ids.shape
+    positions = _abs_positions(cfg, input_ids, attention_mask)
+    ids2 = input_ids.reshape(B // 2, 2 * S)
+    mask2 = attention_mask.reshape(B // 2, 2 * S)
+    pos2 = None if positions is None else positions.reshape(B // 2, 2 * S)
+    tt2 = None if token_type_ids is None else \
+        token_type_ids.reshape(B // 2, 2 * S)
+
+    bias = padding_bias(mask2)
+    # mask cross-pair attention
+    half = jnp.arange(2 * S) >= S
+    block = jnp.where(half[:, None] == half[None, :], 0.0, -1e30)
+    bias = bias + block[None, None]
+    if params.get("rel_bias") is not None:
+        rb = _mpnet_position_bias(params["rel_bias"], S, cfg)  # [1, H, S, S]
+        rb2 = jnp.zeros(rb.shape[:2] + (2 * S, 2 * S), rb.dtype)
+        rb2 = rb2.at[:, :, :S, :S].set(rb).at[:, :, S:, S:].set(rb)
+        bias = bias + rb2
+    rope_pos = jnp.concatenate([jnp.arange(S), jnp.arange(S)])
+    hidden2 = _encode_core(params, cfg, ids2, pos2, tt2, bias, rope_pos)
+    return hidden2.reshape(B, S, cfg.hidden_size)
+
+
+def encode_auto(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
+                attention_mask: jnp.ndarray,
+                token_type_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """encode() with automatic pair-packing for short rows.
+
+    Shapes are static under jit, so this is a trace-time branch: even-sized
+    batches of rows <= 64 tokens take the packed kernel (measured 1.31x on
+    v5e at the MiniLM embedding shape), everything else the plain path.
+    """
+    B, S = input_ids.shape
+    if S <= 64 and B >= 2 and B % 2 == 0:
+        return encode_packed_pairs(params, cfg, input_ids, attention_mask,
+                                   token_type_ids)
+    return encode(params, cfg, input_ids, attention_mask, token_type_ids)
+
+
+def _encode_core(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
+                 positions: Optional[jnp.ndarray],
+                 token_type_ids: Optional[jnp.ndarray],
+                 bias: jnp.ndarray, rope_positions: jnp.ndarray) -> jnp.ndarray:
     emb = params["embeddings"]
     x = jnp.take(emb["word"], input_ids, axis=0)
-
-    if cfg.rotary_emb_base > 0:
-        pass  # rotary models have no absolute position embeddings
-    elif cfg.position_offset > 0:
-        # roberta/mpnet position ids: cumsum over the mask, pads pinned to pad idx
-        mask_i = attention_mask.astype(jnp.int32)
-        positions = jnp.cumsum(mask_i, axis=1) * mask_i + cfg.pad_token_id
-        x = x + jnp.take(emb["position"], positions, axis=0)
-    else:
-        positions = jnp.arange(input_ids.shape[1])[None, :]
-        positions = jnp.broadcast_to(positions, input_ids.shape)
+    if positions is not None:
         x = x + jnp.take(emb["position"], positions, axis=0)
 
     if emb.get("token_type") is not None:
@@ -364,18 +433,13 @@ def encode(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
 
     x = layer_norm(x, emb["norm"]["weight"], emb["norm"]["bias"], cfg.layer_norm_eps)
 
-    bias = padding_bias(attention_mask)
-    if params.get("rel_bias") is not None:
-        bias = bias + _mpnet_position_bias(params["rel_bias"], input_ids.shape[1], cfg)
-
     act = get_activation(cfg.activation)
     H = cfg.num_heads
     rotary = cfg.rotary_emb_base > 0
     if rotary:
         from ..ops.rope import apply_rope
-        seq = input_ids.shape[1]
-        rope_cos = params["rope_cos"][:seq]
-        rope_sin = params["rope_sin"][:seq]
+        rope_cos = params["rope_cos"]
+        rope_sin = params["rope_sin"]
 
     # NOTE on fused QKV: the reference fuses q/k/v into one GEMM on CPU
     # (cpu/encoder/qkv_projection.rs:12). Measured on TPU (v5e, MiniLM
@@ -393,8 +457,7 @@ def encode(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
             v = v + lp["v"]["b"]
         q, k, v = split_heads(q, H), split_heads(k, H), split_heads(v, H)
         if rotary:
-            q, k = apply_rope(q, k, rope_cos, rope_sin,
-                              jnp.arange(rope_cos.shape[0]))
+            q, k = apply_rope(q, k, rope_cos, rope_sin, rope_positions)
         ctx = merge_heads(attention(q, k, v, bias))
         attn_out = ctx @ lp["o"]["w"]
         if "b" in lp["o"]:

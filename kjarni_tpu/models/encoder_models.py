@@ -71,7 +71,7 @@ class _EncoderBase:
 
         @jax.jit
         def _encode(params, ids, mask, token_type):
-            return kbert.encode(params, cfg, ids, mask, token_type)
+            return kbert.encode_auto(params, cfg, ids, mask, token_type)
 
         self._encode = _encode
 
@@ -181,7 +181,7 @@ class CrossEncoder(_EncoderBase):
 
         @jax.jit
         def _score(params, head_params, ids, mask, token_type):
-            hidden = kbert.encode(params, cfg, ids, mask, token_type)
+            hidden = kbert.encode_auto(params, cfg, ids, mask, token_type)
             logits = _head_forward(head, head_params, hidden, mask)
             return logits[:, 0]
 
@@ -318,7 +318,7 @@ class SequenceClassifier(_EncoderBase):
 
         @jax.jit
         def _logits(params, head_params, ids, mask, token_type):
-            hidden = kbert.encode(params, cfg, ids, mask, token_type)
+            hidden = kbert.encode_auto(params, cfg, ids, mask, token_type)
             return _head_forward(head, head_params, hidden, mask)
 
         self._logits = _logits

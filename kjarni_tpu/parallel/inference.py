@@ -63,7 +63,7 @@ def encode_data_parallel(params, cfg: kbert.BertConfig, mesh: Mesh,
 
     @jax.jit
     def fwd(params, ids, mask, tt):
-        hidden = kbert.encode(params, cfg, ids, mask, tt)
+        hidden = kbert.encode_auto(params, cfg, ids, mask, tt)
         pooled = mean_pool(hidden, mask)
         if normalize:
             norm = jnp.linalg.norm(pooled.astype(jnp.float32), axis=-1,
