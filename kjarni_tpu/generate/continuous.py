@@ -14,6 +14,17 @@ vLLM-style. TPU-native design constraints shape the layout:
   * inactive slots still compute (masked on the host) — lockstep SPMD is
     cheaper than ragged dispatch because decode is weight-bandwidth-bound.
 
+Host-synchronization budget (the round-3 redesign): ALL mutable slot state —
+last sampled token, PRNG keys, penalty-history ring, per-slot sampling
+parameters — is device-resident. Admission is one fused dispatch PER WAVE
+(all joining requests' prefills vmapped together + first-token sampling +
+state scatter at the slot indices) with NO device→host readback; each
+decode window is one fused dispatch whose ONLY readback is a
+packed [S, k+1] int32 token block (column 0 = the window's entry token, so
+the token sampled at admission is reported on the next window without its
+own sync). Over a remote-device tunnel with ~30 ms roundtrips this is the
+difference between ~2 syncs per burst and ~20.
+
 Each slot carries its own sampling parameters (temperature / top-k / top-p /
 min-p / seed) and its own PRNG key, applied inside the vmap'd step — greedy
 and sampled requests share one dispatch. Top-k uses a dynamic-k mask (rank
@@ -61,12 +72,22 @@ def _sample_slot(logits, key, temp, top_k, top_p, min_p):
     return jax.lax.cond(temp <= 0.0, greedy, sampled, None)
 
 
+def _hist_append(h, hl, tok):
+    """Append one token to a rolling [_HIST_BUF] history ring (device)."""
+    h_app = h.at[jnp.clip(hl, 0, _HIST_BUF - 1)].set(tok)
+    h_roll = jnp.roll(h, -1).at[_HIST_BUF - 1].set(tok)
+    h = jnp.where(hl >= _HIST_BUF, h_roll, h_app)
+    return h, jnp.minimum(hl + 1, _HIST_BUF)
+
+
 @dataclasses.dataclass
 class _Slot:
     request_id: int = -1
     active: bool = False
     pos: int = 0                 # cache write frontier (== tokens in cache)
     remaining: int = 0           # max_new_tokens budget left
+    pending_first: bool = False  # admission token not yet reported to host
+    plain: bool = True           # greedy, no penalties: fast-path eligible
     generated: list = dataclasses.field(default_factory=list)
 
 
@@ -114,65 +135,84 @@ class ContinuousEngine:
             self.cache_k = jax.device_put(self.cache_k, sh)
             self.cache_v = jax.device_put(self.cache_v, sh)
         self._slots = [_Slot() for _ in range(slots)]
-        self._last_tok = np.zeros(slots, np.int32)
-        # per-slot sampling state (temp<=0 = greedy); keys advance per step
-        self._temp = np.zeros(slots, np.float32)
-        self._top_k = np.zeros(slots, np.int32)
-        self._top_p = np.ones(slots, np.float32)
-        self._min_p = np.zeros(slots, np.float32)
+        # ALL per-slot decode state is device-resident and never read back:
+        # the host only ever sees the packed [S, k+1] window token block.
+        self._last_tok = jnp.zeros(slots, jnp.int32)
+        self._temp = jnp.zeros(slots, jnp.float32)      # temp<=0 = greedy
+        self._top_k = jnp.zeros(slots, jnp.int32)
+        self._top_p = jnp.ones(slots, jnp.float32)
+        self._min_p = jnp.zeros(slots, jnp.float32)
         self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(slots)])
         # per-slot penalties over a rolling generated-token history window;
         # ngram size is static per engine (shape-dependent), gated per slot
         self.no_repeat_ngram_size = no_repeat_ngram_size
-        self._penalty = np.ones(slots, np.float32)
-        self._ngram_on = np.zeros(slots, bool)
-        self._hist = np.zeros((slots, _HIST_BUF), np.int32)
-        self._hist_len = np.zeros(slots, np.int32)
+        self._penalty = jnp.ones(slots, jnp.float32)
+        self._ngram_on = jnp.zeros(slots, jnp.bool_)
+        self._hist = jnp.zeros((slots, _HIST_BUF), jnp.int32)
+        self._hist_len = jnp.zeros(slots, jnp.int32)
         self._next_id = 0
         self._queue: list[tuple] = []                   # waiting requests
         self._finished: list[FinishedRequest] = []
         self._prefill_cache: dict[int, any] = {}
-        # k decode iterations fused per host dispatch (lax.fori_loop inside
-        # the jitted step): slots join/leave at k-token granularity, and the
-        # per-token host roundtrip (≈30 ms over a remote-device tunnel) is
-        # amortized k×. k=1 reproduces per-token stepping exactly.
+        # Up to `steps_per_sync` decode iterations fuse per host dispatch
+        # (lax.fori_loop inside the jitted step): slots join/leave at window
+        # granularity, and the per-token host roundtrip (≈30 ms over a
+        # remote-device tunnel) is amortized k×. The actual window size k is
+        # chosen ADAPTIVELY per step — the round-up-power-of-two of the
+        # minimum tokens still needed across active slots, capped at
+        # steps_per_sync — so a uniform burst finishes in exactly one window
+        # with no wasted slot-steps; one step fn lazily compiles per k.
+        # steps_per_sync=1 reproduces per-token stepping exactly.
         self.steps_per_sync = max(int(steps_per_sync), 1)
-        self._step_fn = self._build_step()
-        self._first_fn = self._build_first()
+        self._step_fns: dict[int, any] = {}
 
     # ------------------------------------------------------------------
 
-    def _build_step(self):
+    def _step_fn(self, k_steps: int, plain: bool):
+        fn = self._step_fns.get((k_steps, plain))
+        if fn is not None:
+            return fn
+        fn = self._build_step(k_steps, plain)
+        self._step_fns[(k_steps, plain)] = fn
+        return fn
+
+    def _build_step(self, k_steps: int, plain: bool):
+        """plain=True compiles the all-greedy/no-penalty fast path: pure
+        argmax, no per-slot top-k sort (a vmapped lax.cond executes BOTH
+        branches, so on a real 100k+ vocab every greedy window would
+        otherwise pay the sampling sort per slot per token), no key splits,
+        no history-ring maintenance. Stale hist/keys for plain slots are
+        harmless in later mixed windows: penalty 1.0 is a no-op over any
+        history and greedy sampling never reads the key."""
         cfg = self.cfg
         fwd = self.family.forward
         ngram = self.no_repeat_ngram_size
-        k_steps = self.steps_per_sync
 
-        @partial(jax.jit, donate_argnums=(2, 3))
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 5, 12, 13))
         def step(params, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p,
                  pen, ngram_on, hist, hist_len):
             # vmap the B=1 forward over the slot axis: each slot attends its
             # own cache at its own frontier and samples with its own params
             # and PRNG key — then fuse k such iterations in one dispatch
             # (lax.fori_loop), advancing tokens, caches, PRNG streams, and
-            # the penalty-history ring entirely on device. The host only
-            # sees the [S, k] token block.
+            # the penalty-history ring entirely on device. The host sees ONE
+            # packed [S, k+1] block: column 0 is the entry token (reports the
+            # admission-sampled token of freshly joined slots), columns 1..k
+            # are this window's samples.
             def one(i, tok, ck1, cv1, p, key, t, tk, tp, mp, pe, ng, h, hl):
                 logits, ck1, cv1 = fwd(params, cfg, tok[None, None], ck1, cv1,
                                        p + i)
                 l = logits[0]
+                if plain:
+                    return (jnp.argmax(l).astype(jnp.int32), ck1, cv1,
+                            key, h, hl)
                 valid = jnp.arange(_HIST_BUF) < hl
                 l = apply_repetition_penalty(l, h, valid, pe)  # pe=1 → no-op
                 if ngram > 1:
                     l = jnp.where(ng, apply_no_repeat_ngram(l, h, hl, ngram), l)
                 key, sub = jax.random.split(key)
                 nxt = _sample_slot(l, sub, t, tk, tp, mp)
-                # rolling history append (device twin of _note_token's
-                # host-side window update)
-                h_app = h.at[jnp.clip(hl, 0, _HIST_BUF - 1)].set(nxt)
-                h_roll = jnp.roll(h, -1).at[_HIST_BUF - 1].set(nxt)
-                h = jnp.where(hl >= _HIST_BUF, h_roll, h_app)
-                hl = jnp.minimum(hl + 1, _HIST_BUF)
+                h, hl = _hist_append(h, hl, nxt)
                 return nxt, ck1, cv1, key, h, hl
 
             def body(i, state):
@@ -181,10 +221,11 @@ class ContinuousEngine:
                     one, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
                 )(i, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p,
                   pen, ngram_on, hist, hist_len)
-                out = out.at[:, i].set(toks)
+                out = out.at[:, i + 1].set(toks)
                 return toks, ck, cv, keys, hist, hist_len, out
 
-            out = jnp.full((toks.shape[0], k_steps), -1, jnp.int32)
+            out = jnp.full((toks.shape[0], k_steps + 1), -1, jnp.int32)
+            out = out.at[:, 0].set(toks)        # entry tokens (column 0)
             toks, ck, cv, keys, hist, hist_len, out = jax.lax.fori_loop(
                 0, k_steps, body,
                 (toks, ck, cv, keys, hist, hist_len, out))
@@ -192,41 +233,85 @@ class ContinuousEngine:
 
         return step
 
-    def _build_first(self):
-        """Sampler for the token right after prefill: same penalty chain as
-        the step (history = prompt tail at that point, cf. decoder_lm.py:359
-        which seeds the buffer with the prompt)."""
-        ngram = self.no_repeat_ngram_size
-
-        @jax.jit
-        def first(logits, key, t, tk, tp, mp, pe, ng, h, hl):
-            valid = jnp.arange(_HIST_BUF) < hl
-            l = apply_repetition_penalty(logits, h, valid, pe)
-            if ngram > 1:
-                l = jnp.where(ng, apply_no_repeat_ngram(l, h, hl, ngram), l)
-            return _sample_slot(l, key, t, tk, tp, mp)
-
-        return first
-
-    def _prefill_fn(self, bucket: int):
+    def _admit_fn(self, bucket: int):
+        """Fused BATCHED admission: prefill n requests into n free slots,
+        sample each one's first token (same penalty chain as the step;
+        history = prompt tail, cf. decoder_lm.py:359 which seeds the buffer
+        with the prompt), and scatter ALL per-slot state at the slot
+        indices — ONE dispatch, zero readbacks, regardless of how many
+        requests joined. The per-slot B=1 prefill is vmapped over the lanes
+        so XLA batches the matmuls (n B=1 prefills cost ~one batch-n
+        prefill, not n sequential ones). The lane count is ALWAYS the
+        engine's slot count — partial waves pad by duplicating a real lane
+        (identical duplicate scatters are consistent), so exactly ONE
+        variant compiles per prompt bucket instead of one per
+        (bucket, wave-size): a fresh wave size in production would
+        otherwise stall a live burst behind a multi-second compile.
+        Sampled tokens land in last_tok[slots] and are reported as column 0
+        of the next window's packed block."""
         fn = self._prefill_cache.get(bucket)
         if fn is not None:
             return fn
         cfg = self.cfg
-        fwd = self.family.forward
+        fwd_all = self.family.forward_all_logits
+        ngram = self.no_repeat_ngram_size
 
-        @partial(jax.jit, donate_argnums=(2, 3))
-        def prefill(params, ids, ck, cv, slot, last_idx):
-            ck1 = jax.lax.dynamic_index_in_dim(ck, slot, 0, keepdims=False)
-            cv1 = jax.lax.dynamic_index_in_dim(cv, slot, 0, keepdims=False)
-            logits, ck1, cv1 = fwd(params, cfg, ids[None, :], ck1, cv1,
-                                   jnp.int32(0), last_idx=last_idx)
-            ck = jax.lax.dynamic_update_index_in_dim(ck, ck1, slot, 0)
-            cv = jax.lax.dynamic_update_index_in_dim(cv, cv1, slot, 0)
-            return logits[0], ck, cv
+        @partial(jax.jit,
+                 donate_argnums=(2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
+        def admit(params, ids_n, ck, cv, slots_n,
+                  last_tok, keys, hist, hist_len,
+                  temp, top_k, top_p, min_p, pen, ngram_on,
+                  last_idx_n, keys0_n, tails_n, tail_len_n, fp_n, tk_n, ng_n):
+            # gather the joining slots' caches [n, L, 1, Hkv, T, D] and fold
+            # them into ONE plain batched prefill [L, n, Hkv, T, D] — the
+            # same fast path generate_batch uses — instead of vmapping n
+            # B=1 forwards (measured ~3.5x slower for a full 8-slot wave)
+            ck_sel = ck[slots_n]
+            cv_sel = cv[slots_n]
+            ckb = jnp.moveaxis(ck_sel[:, :, 0], 0, 1)
+            cvb = jnp.moveaxis(cv_sel[:, :, 0], 0, 1)
+            all_logits, ckb, cvb = fwd_all(params, cfg, ids_n, ckb, cvb,
+                                           jnp.int32(0))
+            # right-padded rows: row r's prompt ends at last_idx_n[r]; its
+            # causal query there attends only its own real tokens, and the
+            # garbage K/V beyond it sit past the decode frontier until
+            # overwritten (same discipline as llama.py forward's docstring)
+            logits_n = jnp.take_along_axis(
+                all_logits, last_idx_n[:, None, None], axis=1)[:, 0]
 
-        self._prefill_cache[bucket] = prefill
-        return prefill
+            def lane(l, key0, tail, tl, fp, tk, ng):
+                valid = jnp.arange(_HIST_BUF) < tl
+                l = apply_repetition_penalty(l, tail, valid, fp[3])
+                if ngram > 1:
+                    l = jnp.where(ng,
+                                  apply_no_repeat_ngram(l, tail, tl, ngram),
+                                  l)
+                key, sub = jax.random.split(key0)
+                tok = _sample_slot(l, sub, fp[0], tk, fp[1], fp[2])
+                h, hl = _hist_append(tail, tl, tok)
+                return tok, key, h, hl
+
+            toks, keys_n, h_n, hl_n = jax.vmap(lane)(
+                logits_n, keys0_n, tails_n, tail_len_n, fp_n, tk_n, ng_n)
+            # scatter the new slots' state at their indices (duplicates from
+            # lane padding write identical values)
+            ck = ck.at[slots_n].set(jnp.moveaxis(ckb, 1, 0)[:, :, None])
+            cv = cv.at[slots_n].set(jnp.moveaxis(cvb, 1, 0)[:, :, None])
+            last_tok = last_tok.at[slots_n].set(toks)
+            keys = keys.at[slots_n].set(keys_n)
+            hist = hist.at[slots_n].set(h_n)
+            hist_len = hist_len.at[slots_n].set(hl_n)
+            temp = temp.at[slots_n].set(fp_n[:, 0])
+            top_p = top_p.at[slots_n].set(fp_n[:, 1])
+            min_p = min_p.at[slots_n].set(fp_n[:, 2])
+            pen = pen.at[slots_n].set(fp_n[:, 3])
+            top_k = top_k.at[slots_n].set(tk_n)
+            ngram_on = ngram_on.at[slots_n].set(ng_n)
+            return (ck, cv, last_tok, keys, hist, hist_len,
+                    temp, top_k, top_p, min_p, pen, ngram_on)
+
+        self._prefill_cache[bucket] = admit
+        return admit
 
     # ------------------------------------------------------------------
 
@@ -234,7 +319,8 @@ class ContinuousEngine:
                sampling: Optional[SamplingParams] = None,
                seed: Optional[int] = None,
                repetition_penalty: float = 1.0,
-               no_repeat_ngram: bool = False) -> int:
+               no_repeat_ngram: bool = False,
+               defer_admit: bool = False) -> int:
         """Queue a request; it joins the running batch at the next step.
 
         sampling=None (or temperature<=0) decodes greedily; otherwise the
@@ -243,95 +329,130 @@ class ContinuousEngine:
         repetition_penalty compounds per occurrence over the slot's last
         _HIST_BUF generated tokens; no_repeat_ngram uses the engine's static
         `no_repeat_ngram_size` (a jit shape), toggled per request.
+
+        defer_admit=True only queues: a caller submitting a burst defers so
+        that the next step()/admit() prefills the whole wave in ONE batched
+        dispatch instead of one per request (serve_batching.ContinuousRunner
+        does this).
         """
         if no_repeat_ngram and self.no_repeat_ngram_size <= 1:
             raise GenerationError(
                 "engine was built with no_repeat_ngram_size<=1; pass it to "
                 "ContinuousEngine(...) to enable per-request ngram blocking")
         ids = self.lm.encode_prompt(prompt, add_bos=True)
-        # worst-case cache frontier: prefill + full decode windows (a slot
-        # finishing mid-window still writes the whole k-token window)
+        # worst-case cache frontier: prefill + decode writes. A slot
+        # finishing mid-window (EOS, or another slot pinning a larger
+        # adaptive k) still writes its whole window, so reserve one maximal
+        # window of overshoot beyond the max_new-1 decode writes.
         k = self.steps_per_sync
-        windows = -(-(max_new_tokens - 1) // k) if max_new_tokens > 1 else 0
-        need = len(ids) + windows * k
+        need = len(ids) + (max_new_tokens - 1) + k
         if need > self.T:
             raise GenerationError(
                 f"prompt ({len(ids)} tokens) + max_new_tokens "
-                f"({max_new_tokens}, rounded up to the {k}-token decode "
-                f"window: {need} total) exceeds slot capacity {self.T}")
+                f"({max_new_tokens}) + worst-case {k}-token decode-window "
+                f"overshoot ({need} total) exceeds slot capacity {self.T}")
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, ids, max_new_tokens, sampling, seed,
                             repetition_penalty, no_repeat_ngram))
-        self._admit()
+        if not defer_admit:
+            self._admit()
         return rid
 
     def _admit(self) -> None:
-        """Prefill queued requests into free slots."""
+        """Prefill queued requests into free slots — one fused BATCHED
+        dispatch per prompt-length bucket, no device→host sync (each first
+        token is reported by the next window's packed readback)."""
+        pairs = []
         for slot_idx, slot in enumerate(self._slots):
             if not self._queue:
-                return
+                break
             if slot.active:
                 continue
-            rid, ids, max_new, sampling, seed, rep_pen, ngram_on = \
-                self._queue.pop(0)
-            bucket = seq_bucket(len(ids))
-            arr = np.zeros(bucket, np.int32)
-            arr[:len(ids)] = ids               # right-pad; garbage slots are
-            # never attended: queries stop at last_idx, later writes overwrite
-            logits, self.cache_k, self.cache_v = self._prefill_fn(bucket)(
-                self.lm.params, jnp.asarray(arr), self.cache_k, self.cache_v,
-                jnp.int32(slot_idx), jnp.int32(len(ids) - 1))
-            sp = sampling or SamplingParams(temperature=0.0)
-            self._temp[slot_idx] = sp.temperature
-            self._top_k[slot_idx] = sp.top_k or 0
-            self._top_p[slot_idx] = 1.0 if sp.top_p is None else sp.top_p
-            self._min_p[slot_idx] = sp.min_p or 0.0
-            self._penalty[slot_idx] = rep_pen
-            self._ngram_on[slot_idx] = ngram_on
-            # penalties run over prompt + generated (decoder_lm.py:359); seed
-            # the rolling window with the prompt tail
-            tail = ids[-_HIST_BUF:]
-            self._hist[slot_idx, :len(tail)] = tail
-            self._hist_len[slot_idx] = len(tail)
-            key = jax.random.PRNGKey(rid if seed is None else seed)
-            key, sub = jax.random.split(key)
-            self._keys = self._keys.at[slot_idx].set(key)
-            tok = self._first_fn(logits, sub,
-                                 jnp.float32(self._temp[slot_idx]),
-                                 jnp.int32(self._top_k[slot_idx]),
-                                 jnp.float32(self._top_p[slot_idx]),
-                                 jnp.float32(self._min_p[slot_idx]),
-                                 jnp.float32(self._penalty[slot_idx]),
-                                 jnp.bool_(ngram_on),
-                                 jnp.asarray(self._hist[slot_idx]),
-                                 jnp.int32(self._hist_len[slot_idx]))
-            slot.request_id = rid
-            slot.active = True
-            slot.pos = len(ids)
-            slot.remaining = max_new
-            slot.generated = []
-            self._last_tok[slot_idx] = int(tok)
-            self._note_token(slot_idx, int(tok))
+            pairs.append((slot_idx, self._queue.pop(0)))
+        if not pairs:
+            return
+        groups: dict[int, list] = {}
+        for slot_idx, req in pairs:
+            groups.setdefault(seq_bucket(len(req[1])), []).append(
+                (slot_idx, req))
+        for bucket, grp in groups.items():
+            n = len(grp)
+            npad = self.S            # fixed lane count: one jit per bucket
+            ids_n = np.zeros((npad, bucket), np.int32)
+            slots_n = np.zeros(npad, np.int32)
+            last_idx_n = np.zeros(npad, np.int32)
+            tails_n = np.zeros((npad, _HIST_BUF), np.int32)
+            tail_len_n = np.zeros(npad, np.int32)
+            fp_n = np.zeros((npad, 4), np.float32)
+            tk_n = np.zeros(npad, np.int32)
+            ng_n = np.zeros(npad, bool)
+            keys0 = []
+            for j, (slot_idx, req) in enumerate(grp):
+                rid, ids, max_new, sampling, seed, rep_pen, ngram_on = req
+                ids_n[j, :len(ids)] = ids      # right-pad; garbage slots are
+                # never attended: queries stop at last_idx, later writes
+                # overwrite
+                slots_n[j] = slot_idx
+                last_idx_n[j] = len(ids) - 1
+                sp = sampling or SamplingParams(temperature=0.0)
+                # penalties run over prompt + generated (decoder_lm.py:359);
+                # seed the rolling window with the prompt tail
+                tail = ids[-_HIST_BUF:]
+                tails_n[j, :len(tail)] = tail
+                tail_len_n[j] = len(tail)
+                fp_n[j] = (sp.temperature,
+                           1.0 if sp.top_p is None else sp.top_p,
+                           sp.min_p or 0.0, rep_pen)
+                tk_n[j] = sp.top_k or 0
+                ng_n[j] = ngram_on
+                keys0.append(jax.random.PRNGKey(
+                    rid if seed is None else seed))
+            for j in range(n, npad):   # pad: duplicate lane 0 (identical
+                # duplicate scatters write identical values — consistent)
+                ids_n[j] = ids_n[0]
+                slots_n[j] = slots_n[0]
+                last_idx_n[j] = last_idx_n[0]
+                tails_n[j] = tails_n[0]
+                tail_len_n[j] = tail_len_n[0]
+                fp_n[j] = fp_n[0]
+                tk_n[j] = tk_n[0]
+                ng_n[j] = ng_n[0]
+                keys0.append(keys0[0])
+            (self.cache_k, self.cache_v, self._last_tok, self._keys,
+             self._hist, self._hist_len, self._temp, self._top_k,
+             self._top_p, self._min_p, self._penalty, self._ngram_on) = \
+                self._admit_fn(bucket)(
+                    self.lm.params, jnp.asarray(ids_n), self.cache_k,
+                    self.cache_v, jnp.asarray(slots_n),
+                    self._last_tok, self._keys, self._hist, self._hist_len,
+                    self._temp, self._top_k, self._top_p, self._min_p,
+                    self._penalty, self._ngram_on,
+                    jnp.asarray(last_idx_n), jnp.stack(keys0),
+                    jnp.asarray(tails_n), jnp.asarray(tail_len_n),
+                    jnp.asarray(fp_n), jnp.asarray(tk_n),
+                    jnp.asarray(ng_n))
+            for slot_idx, req in grp:
+                rid, ids, max_new, sampling = req[0], req[1], req[2], req[3]
+                sp = sampling or SamplingParams(temperature=0.0)
+                slot = self._slots[slot_idx]
+                slot.request_id = rid
+                slot.active = True
+                slot.pos = len(ids)
+                slot.remaining = max_new
+                slot.pending_first = True
+                slot.plain = (sp.temperature <= 0.0 and req[5] == 1.0
+                              and not req[6])
+                slot.generated = []
 
-    def _note_token(self, slot_idx: int, tok: int,
-                    update_hist: bool = True) -> None:
-        """Bookkeep one accepted token. update_hist=False when the device
-        already appended it to the history ring inside the fused step (the
-        host mirror was refreshed from the device output)."""
+    def _note_token(self, slot_idx: int, tok: int) -> None:
+        """Bookkeep one accepted token (the device already appended it to
+        the penalty-history ring inside the fused dispatch)."""
         slot = self._slots[slot_idx]
         if tok in self.lm.stop_token_ids:
             self._finish(slot_idx, "eos")
             return
         slot.generated.append(tok)
-        if update_hist:
-            hl = int(self._hist_len[slot_idx])
-            if hl < _HIST_BUF:
-                self._hist[slot_idx, hl] = tok
-                self._hist_len[slot_idx] = hl + 1
-            else:   # rolling window: penalties see the last _HIST_BUF tokens
-                self._hist[slot_idx, :-1] = self._hist[slot_idx, 1:]
-                self._hist[slot_idx, -1] = tok
         slot.remaining -= 1
         if slot.remaining <= 0:
             self._finish(slot_idx, "length")
@@ -357,7 +478,8 @@ class ContinuousEngine:
 
     def step(self) -> None:
         """Decode one fused window (steps_per_sync tokens) for every active
-        slot — a single XLA dispatch and a single host sync.
+        slot — a single XLA dispatch whose ONLY host sync is the packed
+        [S, k+1] token block.
 
         A slot that finishes mid-window (EOS or budget) has its trailing
         window tokens discarded; the capacity check in submit() reserves the
@@ -367,27 +489,45 @@ class ContinuousEngine:
         if self.num_active == 0:
             return
         was_active = [s.active for s in self._slots]
+        pending = [s.pending_first for s in self._slots]
         pos = np.array([s.pos for s in self._slots], np.int32)
-        out, last, self.cache_k, self.cache_v, self._keys, hist_d, hl_d = \
-            self._step_fn(
-                self.lm.params, jnp.asarray(self._last_tok), self.cache_k,
-                self.cache_v, jnp.asarray(pos), self._keys,
-                jnp.asarray(self._temp), jnp.asarray(self._top_k),
-                jnp.asarray(self._top_p), jnp.asarray(self._min_p),
-                jnp.asarray(self._penalty), jnp.asarray(self._ngram_on),
-                jnp.asarray(self._hist), jnp.asarray(self._hist_len))
-        out = np.asarray(out)                  # [S, k] token block
-        self._last_tok = np.asarray(last).copy()
-        self._hist = np.asarray(hist_d).copy()
-        self._hist_len = np.asarray(hl_d).copy()
+        # adaptive window: smallest power of two covering the least-loaded
+        # active slot's outstanding tokens (so nobody decodes far past its
+        # budget), capped at steps_per_sync
+        needed = min(
+            (s.remaining - (1 if s.pending_first else 0)
+             for s in self._slots if s.active))
+        k = 1
+        while k < needed and k * 2 <= self.steps_per_sync:
+            k *= 2
+        plain = all(s.plain for s in self._slots if s.active)
+        (packed, self._last_tok, self.cache_k, self.cache_v, self._keys,
+         self._hist, self._hist_len) = self._step_fn(k, plain)(
+            self.lm.params, self._last_tok, self.cache_k,
+            self.cache_v, jnp.asarray(pos), self._keys,
+            self._temp, self._top_k, self._top_p, self._min_p,
+            self._penalty, self._ngram_on, self._hist, self._hist_len)
+        out = np.asarray(packed)       # [S, k+1] — the window's one sync
         for i, slot in enumerate(self._slots):
             if not was_active[i]:
                 continue
-            for j in range(out.shape[1]):
+            if pending[i]:
+                # column 0 = the token sampled at admission; its cache write
+                # happened as iteration 0 of THIS window, so pos does not
+                # advance for it here
+                slot.pending_first = False
+                self._note_token(i, int(out[i, 0]))
+                if not slot.active:
+                    continue
+            for j in range(1, out.shape[1]):
                 slot.pos += 1
-                self._note_token(i, int(out[i, j]), update_hist=False)
+                self._note_token(i, int(out[i, j]))
                 if not slot.active:
                     break   # discard the rest of the window
+        # slots freed this window admit waiting work immediately so the next
+        # step() decodes them — keeps the batch full without an extra sync
+        if self._queue:
+            self._admit()
 
     def drain(self) -> list[FinishedRequest]:
         out, self._finished = self._finished, []

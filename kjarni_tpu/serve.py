@@ -45,7 +45,8 @@ class _Engine:
                  batch_window_ms: float = 10.0, scheduler: str = "batch",
                  draft_model: str | None = None, draft_num_tokens: int = 4,
                  request_timeout_s: float | None = None,
-                 tp: int | None = None, dp: int | None = None):
+                 tp: int | None = None, dp: int | None = None,
+                 steps_per_sync: int = 16):
         if scheduler not in ("batch", "continuous"):
             raise KjarniError(f"unknown scheduler '{scheduler}' "
                               f"(expected 'batch' or 'continuous')")
@@ -58,6 +59,9 @@ class _Engine:
         self.batch_window_ms = batch_window_ms
         self._batchers: dict[str, Any] = {}
         self._continuous_runners: dict[str, Any] = {}
+        # continuous scheduler: max decode iterations fused per dispatch
+        # (actual window adapts down; see generate/continuous.py)
+        self.steps_per_sync = steps_per_sync
         # DecoderLM mutates shared state across a generation (reused KV cache,
         # session prefix) — one generation per underlying model at a time.
         # Keyed by id(lm) so chat sessions sharing a DecoderLM share the lock.
@@ -150,7 +154,8 @@ class _Engine:
             r = self._continuous_runners.get(gen.model_id)
             if r is None:
                 slots = self.max_batch if self.max_batch > 1 else 8
-                r = ContinuousRunner(gen._lm, slots=slots)
+                r = ContinuousRunner(gen._lm, slots=slots,
+                                     steps_per_sync=self.steps_per_sync)
                 self._continuous_runners[gen.model_id] = r
         return r
 
@@ -402,12 +407,13 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
           scheduler: str = "batch",
           draft_model: str | None = None,
           request_timeout_s: float | None = None,
-          tp: int | None = None, dp: int | None = None) -> ThreadingHTTPServer:
+          tp: int | None = None, dp: int | None = None,
+          steps_per_sync: int = 16) -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
                      batch_window_ms=batch_window_ms, scheduler=scheduler,
                      draft_model=draft_model,
                      request_timeout_s=request_timeout_s,
-                     tp=tp, dp=dp)
+                     tp=tp, dp=dp, steps_per_sync=steps_per_sync)
     server = KjarniHTTPServer((host, port), make_handler(engine))
     return server
 
@@ -441,6 +447,10 @@ def main(argv=None) -> int:
                     default="batch",
                     help="'continuous' joins generate requests into a "
                          "running slot-based decode (token-level batching)")
+    ap.add_argument("--steps-per-sync", type=int, default=16,
+                    help="continuous scheduler: max decode iterations fused "
+                         "per host dispatch (the window adapts down to the "
+                         "least-loaded slot's outstanding tokens)")
     ap.add_argument("--draft-model",
                     help="speculative-decoding draft model for /v1/generate")
     ap.add_argument("--device-timeout", type=float, default=None,
@@ -457,6 +467,7 @@ def main(argv=None) -> int:
                    max_batch=args.max_batch,
                    batch_window_ms=args.batch_window_ms,
                    scheduler=args.scheduler,
+                   steps_per_sync=args.steps_per_sync,
                    draft_model=args.draft_model,
                    request_timeout_s=args.device_timeout,
                    tp=args.tp, dp=args.dp)

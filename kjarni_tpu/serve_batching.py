@@ -142,7 +142,7 @@ class ContinuousRunner:
     results. Per-request sampling params ride along to the slot engine.
     """
 
-    def __init__(self, lm, *, slots: int = 8, steps_per_sync: int = 8):
+    def __init__(self, lm, *, slots: int = 8, steps_per_sync: int = 16):
         from .generate.continuous import ContinuousEngine
         self._engine = ContinuousEngine(lm, slots=slots,
                                         steps_per_sync=steps_per_sync)
@@ -185,9 +185,22 @@ class ContinuousRunner:
                         return
                     self._cv.wait()
                 incoming, self._incoming = self._incoming, []
+                if incoming and not eng.num_active:
+                    # engine idle: give the rest of a concurrent burst a few
+                    # ms to arrive so the first wave admits full — one
+                    # batched prefill instead of a half-empty first window
+                    deadline = time.monotonic() + 0.008
+                    while (len(incoming) + len(self._incoming) < eng.S
+                           and time.monotonic() < deadline):
+                        self._cv.wait(timeout=0.002)
+                        incoming += self._incoming
+                        self._incoming = []
             for req in incoming:
                 try:
-                    rid = eng.submit(req.prompt, **req.kwargs)
+                    # defer_admit: queue the whole burst, then let step()
+                    # prefill every joining request in ONE batched dispatch
+                    rid = eng.submit(req.prompt, defer_admit=True,
+                                     **req.kwargs)
                     self._by_rid[rid] = req
                 except BaseException as e:  # noqa: BLE001
                     req.error = e

@@ -36,7 +36,7 @@ def post(base, path, payload):
 
 def run(model_dir: str, n_requests: int, max_batch: int,
         window_ms: float, scheduler: str = "batch",
-        max_new_tokens: int = 16) -> dict:
+        max_new_tokens: int = 16, stagger_ms: float = 0.0) -> dict:
     engine = _Engine({"generate": model_dir}, max_batch=max_batch,
                      batch_window_ms=window_ms, scheduler=scheduler)
     srv = KjarniHTTPServer(("127.0.0.1", 0), make_handler(engine))
@@ -54,6 +54,10 @@ def run(model_dir: str, n_requests: int, max_batch: int,
 
         def client(i):
             barrier.wait()
+            if stagger_ms:
+                # requests trickle in over the stagger window instead of
+                # arriving as one burst — the mid-flight-join scenario
+                time.sleep(i * stagger_ms / 1000.0 / n_requests)
             t0 = time.perf_counter()
             texts[i] = post(base, "/v1/generate", body)["text"]
             lat[i] = time.perf_counter() - t0
@@ -78,7 +82,8 @@ def run(model_dir: str, n_requests: int, max_batch: int,
     p50 = ordered[len(ordered) // 2]
     p95 = ordered[min(int(len(ordered) * 0.95), len(ordered) - 1)]
     return {"scheduler": scheduler, "max_batch": max_batch,
-            "requests": n_requests, "wall_s": round(wall, 3),
+            "requests": n_requests, "stagger_ms": stagger_ms,
+            "wall_s": round(wall, 3),
             "req_per_sec": round(n_requests / wall, 2),
             "tok_per_sec": round(n_requests * max_new_tokens / wall, 1),
             "p50_s": round(p50, 3), "p95_s": round(p95, 3),
@@ -91,13 +96,25 @@ def main():
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--window-ms", type=float, default=100.0)
     ap.add_argument("--max-new-tokens", type=int, default=16)
+    ap.add_argument("--stagger-ms", type=float, default=400.0,
+                    help="second pass: spread arrivals over this window "
+                         "(0 disables the staggered runs)")
+    ap.add_argument("--skip-sequential", action="store_true")
     args = ap.parse_args()
-    print(json.dumps(run(args.model, args.requests, 1, args.window_ms,
-                         "batch", args.max_new_tokens)))
+    if not args.skip_sequential:
+        print(json.dumps(run(args.model, args.requests, 1, args.window_ms,
+                             "batch", args.max_new_tokens)))
     print(json.dumps(run(args.model, args.requests, 8, args.window_ms,
                          "batch", args.max_new_tokens)))
     print(json.dumps(run(args.model, args.requests, 8, args.window_ms,
                          "continuous", args.max_new_tokens)))
+    if args.stagger_ms:
+        print(json.dumps(run(args.model, args.requests, 8, args.window_ms,
+                             "batch", args.max_new_tokens,
+                             stagger_ms=args.stagger_ms)))
+        print(json.dumps(run(args.model, args.requests, 8, args.window_ms,
+                             "continuous", args.max_new_tokens,
+                             stagger_ms=args.stagger_ms)))
 
 
 if __name__ == "__main__":
