@@ -299,6 +299,88 @@ class TestPipelineParallel:
                                    atol=2e-4, rtol=1e-4)
 
 
+def _greedy_reference(cfg, params, ids, max_new):
+    """Single-device batched greedy decode (no EOS stop), [B, max_new]."""
+    from kjarni_tpu.models import llama as kllama
+    B, S = ids.shape
+    ck, cv = kllama.init_cache(cfg, B, S + max_new)
+    logits, ck, cv = kllama.forward(params, cfg, ids, ck, cv, 0)
+    toks = [jnp.argmax(logits, axis=-1).astype(jnp.int32)]
+    for j in range(max_new - 1):
+        logits, ck, cv = kllama.forward(params, cfg, toks[-1][:, None],
+                                        ck, cv, S + j)
+        toks.append(jnp.argmax(logits, axis=-1).astype(jnp.int32))
+    return np.stack([np.asarray(t) for t in toks], axis=1)
+
+
+class TestPipelineDecode:
+    """pp_generate: GPipe ring decode WITH per-stage KV caches — the sampled
+    token's embedding wraps last-stage -> stage-0 over ppermute."""
+
+    def test_pp_generate_matches_single_device(self, tiny_llama):
+        from kjarni_tpu.parallel.pipeline import (make_pp_mesh, pp_generate,
+                                                  pp_param_sharding)
+        from kjarni_tpu.parallel.mesh import shard_params_with
+        cfg, params = tiny_llama  # 2 layers -> pp=2, one layer per stage
+        ids = jnp.asarray(np.random.default_rng(7).integers(0, 256, (4, 8)),
+                          dtype=jnp.int32)
+        ref = _greedy_reference(cfg, params, ids, max_new=6)
+        mesh = make_pp_mesh(2, pp=2)
+        sharded = shard_params_with(params, pp_param_sharding(mesh), mesh)
+        with mesh:
+            got = pp_generate(sharded, cfg, ids, mesh, max_new=6)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+    def test_pp4_generate_four_stages(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from __graft_entry__ import _random_llama
+        from kjarni_tpu.parallel.pipeline import (make_pp_mesh, pp_generate,
+                                                  pp_param_sharding)
+        from kjarni_tpu.parallel.mesh import shard_params_with
+        cfg, params = _random_llama({
+            "num_heads": 8, "num_kv_heads": 4, "head_dim": 16,
+            "hidden_size": 128, "intermediate_size": 256, "vocab_size": 256,
+            "max_seq_len": 64, "num_layers": 4})
+        params = jax.tree.map(jnp.asarray, params)
+        ids = jnp.asarray(np.random.default_rng(8).integers(0, 256, (8, 8)),
+                          dtype=jnp.int32)
+        ref = _greedy_reference(cfg, params, ids, max_new=5)
+        mesh = make_pp_mesh(4, pp=4)
+        sharded = shard_params_with(params, pp_param_sharding(mesh), mesh)
+        with mesh:
+            got = pp_generate(sharded, cfg, ids, mesh, max_new=5)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+    def test_pp_generate_single_token(self, tiny_llama):
+        """max_new=1 skips the ring-decode phase entirely (prefill only)."""
+        from kjarni_tpu.parallel.pipeline import (make_pp_mesh, pp_generate,
+                                                  pp_param_sharding)
+        from kjarni_tpu.parallel.mesh import shard_params_with
+        cfg, params = tiny_llama
+        ids = jnp.asarray(np.random.default_rng(9).integers(0, 256, (2, 8)),
+                          dtype=jnp.int32)
+        ref = _greedy_reference(cfg, params, ids, max_new=1)
+        mesh = make_pp_mesh(2, pp=2)
+        sharded = shard_params_with(params, pp_param_sharding(mesh), mesh)
+        with mesh:
+            got = pp_generate(sharded, cfg, ids, mesh, max_new=1)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+    def test_pp_generate_rejects_indivisible_batch(self, tiny_llama):
+        from kjarni_tpu.parallel.pipeline import (make_pp_mesh, pp_generate,
+                                                  pp_param_sharding)
+        from kjarni_tpu.parallel.mesh import shard_params_with
+        cfg, params = tiny_llama
+        mesh = make_pp_mesh(2, pp=2)
+        sharded = shard_params_with(params, pp_param_sharding(mesh), mesh)
+        ids = jnp.zeros((3, 8), jnp.int32)
+        with pytest.raises(ValueError, match="microbatches"):
+            with mesh:
+                pp_generate(sharded, cfg, ids, mesh, max_new=4)
+
+
 class TestSequenceParallel:
     """Ulysses-style sp prefill (parallel/sequence.py)."""
 
