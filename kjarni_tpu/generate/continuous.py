@@ -168,22 +168,32 @@ class ContinuousEngine:
 
     # ------------------------------------------------------------------
 
-    def _step_fn(self, k_steps: int, plain: bool):
-        fn = self._step_fns.get((k_steps, plain))
+    def _step_fn(self, k_steps: int, plain: bool, kv_bucket):
+        key = (k_steps, plain, kv_bucket)
+        fn = self._step_fns.get(key)
         if fn is not None:
             return fn
-        fn = self._build_step(k_steps, plain)
-        self._step_fns[(k_steps, plain)] = fn
+        fn = self._build_step(k_steps, plain, kv_bucket)
+        self._step_fns[key] = fn
         return fn
 
-    def _build_step(self, k_steps: int, plain: bool):
+    def _build_step(self, k_steps: int, plain: bool, kv_bucket):
         """plain=True compiles the all-greedy/no-penalty fast path: pure
         argmax, no per-slot top-k sort (a vmapped lax.cond executes BOTH
         branches, so on a real 100k+ vocab every greedy window would
         otherwise pay the sampling sort per slot per token), no key splits,
         no history-ring maintenance. Stale hist/keys for plain slots are
         harmless in later mixed windows: penalty 1.0 is a no-op over any
-        history and greedy sampling never reads the key."""
+        history and greedy sampling never reads the key.
+
+        kv_bucket (static) slices every slot's WORKING cache to the current
+        ceil-to-512 frontier for the whole window and writes it back once:
+        the layer scan restacks whatever cache it carries every iteration,
+        so carrying the full allocated context costs capacity-proportional
+        HBM traffic per token (cf. decoder_lm._fused_loop_fn and the
+        BASELINE.md round-3 long-context memo). Inactive lanes may clamp
+        their writes at the slice edge — confined to their own lane's
+        garbage cache, which admission re-prefills from position 0."""
         cfg = self.cfg
         fwd = self.family.forward
         ngram = self.no_repeat_ngram_size
@@ -191,6 +201,12 @@ class ContinuousEngine:
         @partial(jax.jit, donate_argnums=(1, 2, 3, 5, 12, 13))
         def step(params, toks, ck, cv, pos, keys, temp, top_k, top_p, min_p,
                  pen, ngram_on, hist, hist_len):
+            full_ck, full_cv = ck, cv
+            if kv_bucket is not None:
+                # [S, L, 1, Hkv, T, D]: T is axis 4
+                sl = lambda a: jax.lax.slice_in_dim(a, 0, kv_bucket, axis=4)
+                ck = jax.tree.map(sl, ck)
+                cv = jax.tree.map(sl, cv)
             # vmap the B=1 forward over the slot axis: each slot attends its
             # own cache at its own frontier and samples with its own params
             # and PRNG key — then fuse k such iterations in one dispatch
@@ -229,6 +245,11 @@ class ContinuousEngine:
             toks, ck, cv, keys, hist, hist_len, out = jax.lax.fori_loop(
                 0, k_steps, body,
                 (toks, ck, cv, keys, hist, hist_len, out))
+            if kv_bucket is not None:
+                wb = lambda a, aw: jax.lax.dynamic_update_slice(
+                    a, aw, (0,) * a.ndim)
+                ck = jax.tree.map(wb, full_ck, ck)
+                cv = jax.tree.map(wb, full_cv, cv)
             return out, toks, ck, cv, keys, hist, hist_len
 
         return step
@@ -501,8 +522,14 @@ class ContinuousEngine:
         while k < needed and k * 2 <= self.steps_per_sync:
             k *= 2
         plain = all(s.plain for s in self._slots if s.active)
+        # working-cache bucket: highest active frontier + this window,
+        # rounded to 512 (one compiled variant per crossed bucket)
+        top = max(s.pos for s in self._slots if s.active)
+        kb = -(-(top + k + 1) // 512) * 512
+        if kb >= self.T:
+            kb = None
         (packed, self._last_tok, self.cache_k, self.cache_v, self._keys,
-         self._hist, self._hist_len) = self._step_fn(k, plain)(
+         self._hist, self._hist_len) = self._step_fn(k, plain, kb)(
             self.lm.params, self._last_tok, self.cache_k,
             self.cache_v, jnp.asarray(pos), self._keys,
             self._temp, self._top_k, self._top_p, self._min_p,

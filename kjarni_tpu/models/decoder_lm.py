@@ -228,6 +228,10 @@ class DecoderLM:
 
         self._prefill = _prefill
         self._steps: dict = {}
+        # decode attention reads only the current ceil-to-bucket slice of the
+        # cache (fill-proportional, not capacity-proportional); contexts at
+        # or below one bucket keep the single full-cache variant
+        self._kv_bucket_step = 512
         # conversation prefix reuse (cf. Cache::clone_box, cache/mod.rs:20):
         # token ids currently materialized in the single-stream cache
         self._session_ids: list[int] = []
@@ -264,13 +268,30 @@ class DecoderLM:
         sp = gen.sampling
         pen, ngram = gen.repetition_penalty, gen.no_repeat_ngram_size
 
-        @partial(jax.jit, donate_argnums=(1, 2, 4))
-        def step(params, ck, cv, logits, history, hist_len, rng):
+        @partial(jax.jit, donate_argnums=(1, 2, 4),
+                 static_argnames=("kv_bucket",))
+        def step(params, ck, cv, logits, history, hist_len, rng,
+                 kv_bucket=None):
+            # per-token working-cache slice (see _fused_loop_fn): the layer
+            # scan restacks whatever cache it carries, so decode on the
+            # bucket slice and write it back — two bucket-sized copies
+            # instead of a capacity-sized restack
+            full_ck, full_cv = ck, cv
+            if kv_bucket is not None:
+                sl = lambda a: jax.lax.slice_in_dim(a, 0, kv_bucket, axis=3)
+                ck = jax.tree.map(sl, ck)
+                cv = jax.tree.map(sl, cv)
             lg = process_logits(logits, history, hist_len, pen, ngram)
             rng, sub = jax.random.split(rng)
             tok = sample_token(lg, sub, sp, greedy)
             history = history.at[hist_len].set(tok, mode="drop")
-            new_logits, ck, cv = fwd(params, cfg, tok[None, None], ck, cv, hist_len)
+            new_logits, ck, cv = fwd(params, cfg, tok[None, None], ck, cv,
+                                     hist_len)
+            if kv_bucket is not None:
+                wb = lambda a, aw: jax.lax.dynamic_update_slice(
+                    a, aw, (0,) * a.ndim)
+                ck = jax.tree.map(wb, full_ck, ck)
+                cv = jax.tree.map(wb, full_cv, cv)
             return tok, new_logits[0], ck, cv, history, rng
 
         self._steps[key] = step
@@ -295,14 +316,29 @@ class DecoderLM:
                                dtype=jnp.int32)
 
         @partial(jax.jit, donate_argnums=(1, 2, 4),
-                 static_argnames=("max_steps",))
-        def fused(params, ck, cv, logits, history, hist_len0, rng, *,
-                  max_steps):
+                 static_argnames=("max_steps", "kv_bucket"))
+        def fused(params, ck, cv, logits, history, hist_len0, rng,
+                  n_steps=None, *, max_steps, kv_bucket=None):
+            # fill-proportional decode: slice the WORKING cache to the
+            # current bucket ONCE per segment and decode entirely on the
+            # small slice. Slicing only the attention read does not help —
+            # XLA fuses it with the layer scan's cache restacking, which
+            # still moves the full capacity every step (measured 0.997x,
+            # scripts/decode_bucketed_bench.py); shrinking the carried
+            # arrays themselves is what cuts the traffic. The two
+            # capacity-sized copies here amortize over the whole segment.
+            full_ck, full_cv = ck, cv
+            if kv_bucket is not None:
+                sl = lambda a: jax.lax.slice_in_dim(a, 0, kv_bucket, axis=3)
+                ck = jax.tree.map(sl, ck)
+                cv = jax.tree.map(sl, cv)
             out = jnp.full((max_steps,), -1, jnp.int32)
+            bound = (jnp.int32(max_steps) if n_steps is None
+                     else jnp.minimum(n_steps, max_steps))
 
             def cond(state):
                 i, done, *_ = state
-                return (i < max_steps) & jnp.logical_not(done)
+                return (i < bound) & jnp.logical_not(done)
 
             def body(state):
                 i, done, logits, ck, cv, history, rng, out = state
@@ -321,8 +357,13 @@ class DecoderLM:
                 cond, body,
                 (jnp.int32(0), jnp.bool_(False), logits, ck, cv, history, rng,
                  out))
+            if kv_bucket is not None:
+                wb = lambda a, aw: jax.lax.dynamic_update_slice(
+                    a, aw, (0,) * a.ndim)
+                ck = jax.tree.map(wb, full_ck, ck)
+                cv = jax.tree.map(wb, full_cv, cv)
             n = i - done.astype(jnp.int32)  # drop the stop token if emitted
-            return out, n, ck, cv, history
+            return out, n, done, logits, ck, cv, history, rng
 
         self._steps[key] = fused
         return fused
@@ -450,9 +491,16 @@ class DecoderLM:
                     break
                 if hist_len >= self.max_context or hist_len >= gen.max_length:
                     break
+                # fill-proportional decode attention (see generate()): the
+                # static bucket only changes every _kv_bucket_step tokens, so
+                # the jit cache holds one step variant per crossed bucket
+                kbs = self._kv_bucket_step
+                kb = -(-(hist_len + 1) // kbs) * kbs
+                if kb >= self.max_context:
+                    kb = None    # bucket would cover the whole cache
                 tok, logits, ck, cv, history, rng = step(
                     self.params, ck, cv, logits, history,
-                    jnp.int32(hist_len), rng)
+                    jnp.int32(hist_len), rng, kv_bucket=kb)
                 t = int(tok)
                 if t in self.stop_token_ids:
                     break
@@ -631,12 +679,38 @@ class DecoderLM:
             return ""
         seed = gen.seed if gen.seed is not None else _random.getrandbits(31)
         fused_fn = self._fused_loop_fn(gen)
-        out, n, ck, cv, _ = fused_fn(
-            self.params, ck, cv, logits, jnp.asarray(history),
-            jnp.int32(prompt_len), jax.random.PRNGKey(seed),
-            max_steps=int(max_steps))
+        # kv-bucketed decode: XLA reads the whole FIXED-shape cache every
+        # step, so at a 16k allocated context a 1B model moves ~537 MB/step
+        # of cache it never attends. Decode in segments whose attention is
+        # statically sliced to the current 512-multiple bucket — step cost
+        # becomes fill-proportional instead of capacity-proportional
+        # (measured table in BASELINE.md round 3). Small contexts keep the
+        # old single-segment full-cache path (identical compile count).
+        KB_STEP = self._kv_bucket_step
+        rng = jax.random.PRNGKey(seed)
+        history_d = jnp.asarray(history)
+        pos = prompt_len
+        remaining = int(max_steps)
+        toks: list[int] = []
+        while remaining > 0:
+            kb = -(-(pos + 1) // KB_STEP) * KB_STEP
+            if kb >= self.max_context:
+                kb = None            # bucket would cover the whole cache
+            seg = min(remaining,
+                      (kb - pos) if kb is not None else KB_STEP)
+            # out buffer is always KB_STEP wide with a dynamic n_steps
+            # bound: ONE fused variant per (sampling config, bucket) in the
+            # jit cache, independent of max_new_tokens
+            out, n, done, logits, ck, cv, history_d, rng = fused_fn(
+                self.params, ck, cv, logits, history_d, jnp.int32(pos), rng,
+                jnp.int32(seg), max_steps=int(KB_STEP), kv_bucket=kb)
+            n = int(n)
+            toks += [int(t) for t in np.asarray(out[:n]) if t >= 0]
+            if bool(done) or n == 0:
+                break
+            pos += n
+            remaining -= n
         self._cache = (ck, cv)
-        toks = [int(t) for t in np.asarray(out[:int(n)]) if t >= 0]
         self._session_ids = ids + toks
         return self.tokenizer.decode(toks, skip_special_tokens=True)
 

@@ -101,7 +101,11 @@ def init_cache(cfg: Gpt2Config, batch: int, max_len: int, dtype=jnp.float32):
 
 
 def _run_stack(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start,
-               use_flash: bool = False, positions=None, pad_mask=None):
+               use_flash: bool = False, positions=None, pad_mask=None,
+               kv_bucket=None):
+    # kv_bucket is accepted for forward-signature parity with llama; the
+    # fill-proportional decode mechanism slices the WORKING cache in
+    # decoder_lm instead (see llama._run_stack note)
     """Embed -> scanned layer stack -> final norm.
 
     Mirrors llama._run_stack's batched-generation contract: `positions` [B, S]
@@ -152,9 +156,10 @@ def _run_stack(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start,
 
 def forward(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start,
             last_idx=None, use_flash: bool = False, positions=None,
-            pad_mask=None):
+            pad_mask=None, kv_bucket=None):
     x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v,
-                                     pos_start, use_flash, positions, pad_mask)
+                                     pos_start, use_flash, positions, pad_mask,
+                                     kv_bucket)
     if last_idx is None:
         last_idx = ids.shape[1] - 1
     last = jax.lax.dynamic_index_in_dim(x, last_idx, axis=1, keepdims=False)

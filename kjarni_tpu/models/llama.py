@@ -503,6 +503,12 @@ def _run_stack(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
                     q, ks, vs, causal=True, window=cfg.sliding_window,
                     q_offset=pos_start, kv_len=pos_start + S))
         else:
+            # NOTE: slicing the attention read to a kv bucket here does NOT
+            # help — XLA fuses the cache-carry restacking of the layer scan
+            # with the attention read, so the full-capacity pass happens
+            # regardless (measured 0.997x, scripts/decode_bucketed_bench.py).
+            # Fill-proportional decode instead slices the WORKING cache once
+            # per segment in decoder_lm._fused_loop_fn.
             ctx = merge_heads(attention(q, k_full, v_full, bias))
         h = h + _mm(ctx, lp["o"])
         hn = rms_norm(h, lp["ffn_norm"], cfg.rms_norm_eps)

@@ -421,3 +421,60 @@ class TestInt4Packing:
         got = DecoderLM(d, dtype="f32", max_context=64, quantize="int4",
                         tp=2).generate("hello world", config=cfg)
         assert got == ref
+
+
+class TestKvBucketedDecode:
+    """Fill-proportional decode attention: generate() decodes in segments
+    whose attention reads only the current ceil-to-bucket cache slice, and
+    generate_stream passes the same static bucket per token. Shrinking the
+    bucket step forces several segment crossings on a tiny model; output
+    must be identical to the single-segment full-cache path."""
+
+    def test_fused_segments_match_full_cache_greedy(self, llama_dir):
+        d, _ = llama_dir
+        full = DecoderLM(d, max_context=96)           # 96 <= 512: unbucketed
+        cfg = GenerationConfig.greedy(max_new_tokens=40, max_length=96)
+        expected = full.generate("hello world the doctor", config=cfg)
+        lm = DecoderLM(d, max_context=96)
+        lm._kv_bucket_step = 16                       # buckets 16,32,48,...
+        got = lm.generate("hello world the doctor", config=cfg)
+        assert got == expected
+
+    def test_fused_segments_match_full_cache_sampled(self, llama_dir):
+        """The rng/logits/history handoff across segment boundaries must be
+        exact: a seeded sampled run crossing buckets equals the unbucketed
+        run with the same seed."""
+        d, _ = llama_dir
+        cfg = GenerationConfig(
+            strategy="sample", max_new_tokens=40, max_length=96, seed=123,
+            sampling=SamplingParams(temperature=0.9, top_k=20, top_p=0.95,
+                                    min_p=0.0))
+        full = DecoderLM(d, max_context=96)
+        expected = full.generate("the doctor went", config=cfg)
+        lm = DecoderLM(d, max_context=96)
+        lm._kv_bucket_step = 16
+        got = lm.generate("the doctor went", config=cfg)
+        assert got == expected
+
+    def test_stream_bucketed_matches_full_cache(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=40, max_length=96)
+        full = DecoderLM(d, max_context=96)
+        expected = [st.id for st in full.generate_stream(
+            "keeping the physician", config=cfg)]
+        lm = DecoderLM(d, max_context=96)
+        lm._kv_bucket_step = 16
+        got = [st.id for st in lm.generate_stream(
+            "keeping the physician", config=cfg)]
+        assert got == expected
+
+    def test_eos_mid_segment(self, llama_dir):
+        """A stop token inside an inner segment ends generation exactly as
+        the full-cache path does (finish_reason parity via text equality)."""
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=60, max_length=96)
+        full = DecoderLM(d, max_context=96)
+        expected = full.generate("data is safe with", config=cfg)
+        lm = DecoderLM(d, max_context=96)
+        lm._kv_bucket_step = 8
+        assert lm.generate("data is safe with", config=cfg) == expected
