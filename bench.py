@@ -110,12 +110,22 @@ def bench_decode(quantize=False):
 
     @jax.jit
     def decode_n(params, ck, cv, tok0, pos0):
+        # fill-proportional decode, as DecoderLM.generate does: the layer
+        # scan restacks whatever cache it carries every step, so carry the
+        # 512-slot working slice (fill stays <512 here) and write it back
+        # once (BASELINE.md round-3 long-context memo)
+        full_ck, full_cv = ck, cv
+        ck = jax.lax.slice_in_dim(ck, 0, 512, axis=3)
+        cv = jax.lax.slice_in_dim(cv, 0, 512, axis=3)
+
         def body(carry, i):
             tok, ck, cv = carry
             logits, ck, cv = kllama.forward(params, cfg, tok[None, None],
                                             ck, cv, pos0 + i)
             return (jnp.argmax(logits[0]).astype(jnp.int32), ck, cv), ()
         (tok, ck, cv), _ = jax.lax.scan(body, (tok0, ck, cv), jnp.arange(N))
+        ck = jax.lax.dynamic_update_slice(full_ck, ck, (0, 0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(full_cv, cv, (0, 0, 0, 0, 0))
         return tok, ck, cv
 
     tok, ck, cv = decode_n(params, ck, cv, jnp.int32(1), jnp.int32(128))

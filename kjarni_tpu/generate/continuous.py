@@ -165,6 +165,9 @@ class ContinuousEngine:
         # steps_per_sync=1 reproduces per-token stepping exactly.
         self.steps_per_sync = max(int(steps_per_sync), 1)
         self._step_fns: dict[int, any] = {}
+        # working-cache bucket granularity (see _build_step); tests shrink it
+        # to cross buckets cheaply on tiny models
+        self._kv_bucket_step = 512
 
     # ------------------------------------------------------------------
 
@@ -523,9 +526,10 @@ class ContinuousEngine:
             k *= 2
         plain = all(s.plain for s in self._slots if s.active)
         # working-cache bucket: highest active frontier + this window,
-        # rounded to 512 (one compiled variant per crossed bucket)
+        # rounded up to the bucket step (one compiled variant per bucket)
+        kbs = self._kv_bucket_step
         top = max(s.pos for s in self._slots if s.active)
-        kb = -(-(top + k + 1) // 512) * 512
+        kb = -(-(top + k + 1) // kbs) * kbs
         if kb >= self.T:
             kb = None
         (packed, self._last_tok, self.cache_k, self.cache_v, self._keys,

@@ -230,3 +230,37 @@ class TestFusedWindow:
         late = eng.submit(PROMPTS[1], max_new_tokens=8)   # joins next window
         done = {fr.request_id: fr for fr in eng.run()}
         assert done[late].token_ids == reference_tokens(lm, PROMPTS[1], 8)
+
+
+class TestWorkingCacheBuckets:
+    """The window step decodes on a bucket slice of the slot caches and
+    writes it back (fill-proportional serving decode). Shrinking the bucket
+    step forces several slice sizes and write-backs on a tiny model; output
+    must equal the unbucketed engine's."""
+
+    def test_bucketed_windows_match_unbucketed(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+
+        def run(bucket_step):
+            eng = ContinuousEngine(lm, slots=3, steps_per_sync=4)
+            eng._kv_bucket_step = bucket_step
+            rids = [eng.submit(p, max_new_tokens=14) for p in PROMPTS[:3]]
+            done = {fr.request_id: fr.token_ids for fr in eng.run()}
+            return [done[r] for r in rids]
+
+        # 4096 >> max_context: every window uses the full cache (kb=None);
+        # 8 crosses several buckets mid-generation; both must agree
+        assert run(4096) == run(8)
+
+    def test_bucketed_slot_reuse_clean(self, lm):
+        """A freed slot re-admitted under small buckets decodes correctly:
+        admission rewrites the slot's cache from position 0 through the
+        full-cache path, clearing any clamped writes from dead lanes."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2, steps_per_sync=4)
+        eng._kv_bucket_step = 8
+        rids = {eng.submit(p, max_new_tokens=6): p for p in PROMPTS}
+        done = {fr.request_id: fr for fr in eng.run()}
+        for rid, prompt in rids.items():
+            assert done[rid].token_ids == reference_tokens(lm, prompt, 6), \
+                prompt
