@@ -153,7 +153,11 @@ class ContinuousEngine:
         self._next_id = 0
         self._queue: list[tuple] = []                   # waiting requests
         self._finished: list[FinishedRequest] = []
-        self._prefill_cache: dict[int, any] = {}
+        self._prefill_cache: dict = {}
+        # shared-prefix prompt cache (register_prefix): prefilled KV copied
+        # into joining slots so admissions only compute their suffix
+        self._prefix_ids: list[int] = []
+        self._prefix_kv = None
         # Up to `steps_per_sync` decode iterations fuse per host dispatch
         # (lax.fori_loop inside the jitted step): slots join/leave at window
         # granularity, and the per-token host roundtrip (≈30 ms over a
@@ -257,7 +261,29 @@ class ContinuousEngine:
 
         return step
 
-    def _admit_fn(self, bucket: int):
+    def register_prefix(self, prompt: str) -> int:
+        """Prompt caching across slots: prefill `prompt` ONCE, and every
+        subsequent submit whose token ids start with it gets the cached KV
+        copied into its slot — admission then computes only the suffix.
+        The single-stream analogue is DecoderLM._prefill_with_reuse; this
+        is the serving-side version (e.g. a shared system prompt). Returns
+        the cached token count. Beyond-reference feature."""
+        ids = self.lm.encode_prompt(prompt, add_bos=True)
+        if len(ids) + 1 + self.steps_per_sync >= self.T:
+            raise GenerationError(
+                f"prefix ({len(ids)} tokens) leaves no room in slot "
+                f"capacity {self.T}")
+        dt = self.cache_k.dtype if not isinstance(self.cache_k, dict) \
+            else jnp.bfloat16
+        ck1, cv1 = self.family.init_cache(self.cfg, 1, len(ids), dt)
+        _, ck1, cv1 = self.family.forward(
+            self.lm.params, self.cfg,
+            jnp.asarray([ids], jnp.int32), ck1, cv1, jnp.int32(0))
+        self._prefix_ids = ids
+        self._prefix_kv = (ck1, cv1)    # [L, 1, Hkv, P, D]
+        return len(ids)
+
+    def _admit_fn(self, bucket: int, m: int = 0):
         """Fused BATCHED admission: prefill n requests into n free slots,
         sample each one's first token (same penalty chain as the step;
         history = prompt tail, cf. decoder_lm.py:359 which seeds the buffer
@@ -272,8 +298,13 @@ class ContinuousEngine:
         (bucket, wave-size): a fresh wave size in production would
         otherwise stall a live burst behind a multi-second compile.
         Sampled tokens land in last_tok[slots] and are reported as column 0
-        of the next window's packed block."""
-        fn = self._prefill_cache.get(bucket)
+        of the next window's packed block.
+
+        m > 0 compiles the shared-prefix variant (register_prefix): the
+        cached prefix KV is broadcast-copied into every joining slot's
+        cache at [0:m] and ids_n holds only the SUFFIX, prefilled at
+        pos_start=m — admission compute is suffix-proportional."""
+        fn = self._prefill_cache.get((bucket, m))
         if fn is not None:
             return fn
         cfg = self.cfg
@@ -285,7 +316,8 @@ class ContinuousEngine:
         def admit(params, ids_n, ck, cv, slots_n,
                   last_tok, keys, hist, hist_len,
                   temp, top_k, top_p, min_p, pen, ngram_on,
-                  last_idx_n, keys0_n, tails_n, tail_len_n, fp_n, tk_n, ng_n):
+                  last_idx_n, keys0_n, tails_n, tail_len_n, fp_n, tk_n, ng_n,
+                  prefix_kv=None):
             # gather the joining slots' caches [n, L, 1, Hkv, T, D] and fold
             # them into ONE plain batched prefill [L, n, Hkv, T, D] — the
             # same fast path generate_batch uses — instead of vmapping n
@@ -294,8 +326,18 @@ class ContinuousEngine:
             cv_sel = cv[slots_n]
             ckb = jnp.moveaxis(ck_sel[:, :, 0], 0, 1)
             cvb = jnp.moveaxis(cv_sel[:, :, 0], 0, 1)
+            if m:
+                pk, pv = prefix_kv         # [L, 1, Hkv, m, D] -> all lanes
+                n_lanes = ckb.shape[1]
+                bshape = (pk.shape[0], n_lanes) + pk.shape[2:]
+                ckb = jax.lax.dynamic_update_slice(
+                    ckb, jnp.broadcast_to(pk, bshape).astype(ckb.dtype),
+                    (0, 0, 0, 0, 0))
+                cvb = jax.lax.dynamic_update_slice(
+                    cvb, jnp.broadcast_to(pv, bshape).astype(cvb.dtype),
+                    (0, 0, 0, 0, 0))
             all_logits, ckb, cvb = fwd_all(params, cfg, ids_n, ckb, cvb,
-                                           jnp.int32(0))
+                                           jnp.int32(m))
             # right-padded rows: row r's prompt ends at last_idx_n[r]; its
             # causal query there attends only its own real tokens, and the
             # garbage K/V beyond it sit past the decode frontier until
@@ -334,7 +376,7 @@ class ContinuousEngine:
             return (ck, cv, last_tok, keys, hist, hist_len,
                     temp, top_k, top_p, min_p, pen, ngram_on)
 
-        self._prefill_cache[bucket] = admit
+        self._prefill_cache[(bucket, m)] = admit
         return admit
 
     # ------------------------------------------------------------------
@@ -396,11 +438,17 @@ class ContinuousEngine:
             pairs.append((slot_idx, self._queue.pop(0)))
         if not pairs:
             return
-        groups: dict[int, list] = {}
+        P = len(self._prefix_ids)
+        groups: dict[tuple, list] = {}
         for slot_idx, req in pairs:
-            groups.setdefault(seq_bucket(len(req[1])), []).append(
+            ids = req[1]
+            # shared-prefix hit: token ids start with the registered prefix
+            # and at least one suffix token remains to produce logits
+            m = P if (P and len(ids) > P and ids[:P] == self._prefix_ids) \
+                else 0
+            groups.setdefault((m, seq_bucket(len(ids) - m)), []).append(
                 (slot_idx, req))
-        for bucket, grp in groups.items():
+        for (m, bucket), grp in groups.items():
             n = len(grp)
             npad = self.S            # fixed lane count: one jit per bucket
             ids_n = np.zeros((npad, bucket), np.int32)
@@ -414,11 +462,12 @@ class ContinuousEngine:
             keys0 = []
             for j, (slot_idx, req) in enumerate(grp):
                 rid, ids, max_new, sampling, seed, rep_pen, ngram_on = req
-                ids_n[j, :len(ids)] = ids      # right-pad; garbage slots are
+                sfx = ids[m:]                  # whole prompt when m == 0
+                ids_n[j, :len(sfx)] = sfx      # right-pad; garbage slots are
                 # never attended: queries stop at last_idx, later writes
                 # overwrite
                 slots_n[j] = slot_idx
-                last_idx_n[j] = len(ids) - 1
+                last_idx_n[j] = len(sfx) - 1
                 sp = sampling or SamplingParams(temperature=0.0)
                 # penalties run over prompt + generated (decoder_lm.py:359);
                 # seed the rolling window with the prompt tail
@@ -443,10 +492,11 @@ class ContinuousEngine:
                 tk_n[j] = tk_n[0]
                 ng_n[j] = ng_n[0]
                 keys0.append(keys0[0])
+            extra = {"prefix_kv": self._prefix_kv} if m else {}
             (self.cache_k, self.cache_v, self._last_tok, self._keys,
              self._hist, self._hist_len, self._temp, self._top_k,
              self._top_p, self._min_p, self._penalty, self._ngram_on) = \
-                self._admit_fn(bucket)(
+                self._admit_fn(bucket, m)(
                     self.lm.params, jnp.asarray(ids_n), self.cache_k,
                     self.cache_v, jnp.asarray(slots_n),
                     self._last_tok, self._keys, self._hist, self._hist_len,
@@ -455,7 +505,7 @@ class ContinuousEngine:
                     jnp.asarray(last_idx_n), jnp.stack(keys0),
                     jnp.asarray(tails_n), jnp.asarray(tail_len_n),
                     jnp.asarray(fp_n), jnp.asarray(tk_n),
-                    jnp.asarray(ng_n))
+                    jnp.asarray(ng_n), **extra)
             for slot_idx, req in grp:
                 rid, ids, max_new, sampling = req[0], req[1], req[2], req[3]
                 sp = sampling or SamplingParams(temperature=0.0)

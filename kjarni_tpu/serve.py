@@ -46,7 +46,8 @@ class _Engine:
                  draft_model: str | None = None, draft_num_tokens: int = 4,
                  request_timeout_s: float | None = None,
                  tp: int | None = None, dp: int | None = None,
-                 steps_per_sync: int = 16):
+                 steps_per_sync: int = 16,
+                 prompt_prefix: str | None = None):
         if scheduler not in ("batch", "continuous"):
             raise KjarniError(f"unknown scheduler '{scheduler}' "
                               f"(expected 'batch' or 'continuous')")
@@ -62,6 +63,8 @@ class _Engine:
         # continuous scheduler: max decode iterations fused per dispatch
         # (actual window adapts down; see generate/continuous.py)
         self.steps_per_sync = steps_per_sync
+        # shared-prefix prompt cache for the continuous scheduler
+        self.prompt_prefix = prompt_prefix
         # DecoderLM mutates shared state across a generation (reused KV cache,
         # session prefix) — one generation per underlying model at a time.
         # Keyed by id(lm) so chat sessions sharing a DecoderLM share the lock.
@@ -155,7 +158,8 @@ class _Engine:
             if r is None:
                 slots = self.max_batch if self.max_batch > 1 else 8
                 r = ContinuousRunner(gen._lm, slots=slots,
-                                     steps_per_sync=self.steps_per_sync)
+                                     steps_per_sync=self.steps_per_sync,
+                                     cached_prefix=self.prompt_prefix)
                 self._continuous_runners[gen.model_id] = r
         return r
 
@@ -408,12 +412,14 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
           draft_model: str | None = None,
           request_timeout_s: float | None = None,
           tp: int | None = None, dp: int | None = None,
-          steps_per_sync: int = 16) -> ThreadingHTTPServer:
+          steps_per_sync: int = 16,
+          prompt_prefix: str | None = None) -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
                      batch_window_ms=batch_window_ms, scheduler=scheduler,
                      draft_model=draft_model,
                      request_timeout_s=request_timeout_s,
-                     tp=tp, dp=dp, steps_per_sync=steps_per_sync)
+                     tp=tp, dp=dp, steps_per_sync=steps_per_sync,
+                     prompt_prefix=prompt_prefix)
     server = KjarniHTTPServer((host, port), make_handler(engine))
     return server
 
@@ -451,6 +457,10 @@ def main(argv=None) -> int:
                     help="continuous scheduler: max decode iterations fused "
                          "per host dispatch (the window adapts down to the "
                          "least-loaded slot's outstanding tokens)")
+    ap.add_argument("--prompt-prefix", default=None,
+                    help="continuous scheduler: prefill this shared prompt "
+                         "prefix once and reuse its KV for every request "
+                         "that starts with it (prompt caching)")
     ap.add_argument("--draft-model",
                     help="speculative-decoding draft model for /v1/generate")
     ap.add_argument("--device-timeout", type=float, default=None,
@@ -468,6 +478,7 @@ def main(argv=None) -> int:
                    batch_window_ms=args.batch_window_ms,
                    scheduler=args.scheduler,
                    steps_per_sync=args.steps_per_sync,
+                   prompt_prefix=args.prompt_prefix,
                    draft_model=args.draft_model,
                    request_timeout_s=args.device_timeout,
                    tp=args.tp, dp=args.dp)

@@ -142,10 +142,15 @@ class ContinuousRunner:
     results. Per-request sampling params ride along to the slot engine.
     """
 
-    def __init__(self, lm, *, slots: int = 8, steps_per_sync: int = 16):
+    def __init__(self, lm, *, slots: int = 8, steps_per_sync: int = 16,
+                 cached_prefix: Optional[str] = None):
         from .generate.continuous import ContinuousEngine
         self._engine = ContinuousEngine(lm, slots=slots,
                                         steps_per_sync=steps_per_sync)
+        if cached_prefix:
+            # shared-prefix prompt cache: prompts starting with this text's
+            # tokens skip recomputing them at admission
+            self._engine.register_prefix(cached_prefix)
         self._cv = threading.Condition()
         self._incoming: list[_Request] = []
         self._by_rid: dict[int, _Request] = {}

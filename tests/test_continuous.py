@@ -264,3 +264,67 @@ class TestWorkingCacheBuckets:
         for rid, prompt in rids.items():
             assert done[rid].token_ids == reference_tokens(lm, prompt, 6), \
                 prompt
+
+
+class TestPrefixCache:
+    """register_prefix: shared-prefix prompt caching across slots — the
+    prefix KV is computed once and copied into joining slots; admission
+    prefills only the suffix. Outputs must equal the no-prefix engine."""
+
+    PREFIX = "hello world the"
+
+    def test_prefix_hit_matches_plain(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        full_prompts = [self.PREFIX + " doctor went", self.PREFIX + " data"]
+        plain = ContinuousEngine(lm, slots=2)
+        rids_p = {plain.submit(p, max_new_tokens=8): p for p in full_prompts}
+        expect = {rids_p[r]: fr.token_ids
+                  for r, fr in ((fr.request_id, fr) for fr in plain.run())}
+
+        eng = ContinuousEngine(lm, slots=2)
+        n = eng.register_prefix(self.PREFIX)
+        assert n > 0
+        rids = {eng.submit(p, max_new_tokens=8): p for p in full_prompts}
+        done = {fr.request_id: fr for fr in eng.run()}
+        for rid, prompt in rids.items():
+            assert done[rid].token_ids == expect[prompt], prompt
+
+    def test_mixed_hit_and_miss_wave(self, lm):
+        """One admission wave containing both prefix-hits and misses splits
+        into two dispatch groups; all outputs stay exact."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=4)
+        eng.register_prefix(self.PREFIX)
+        prompts = [self.PREFIX + " doctor went", "mondays are great for",
+                   self.PREFIX + " physician", "data is safe with"]
+        rids = {eng.submit(p, max_new_tokens=6, defer_admit=True): p
+                for p in prompts}
+        done = {fr.request_id: fr for fr in eng.run()}
+        for rid, prompt in rids.items():
+            assert done[rid].token_ids == reference_tokens(lm, prompt, 6), \
+                prompt
+
+    def test_exact_prefix_prompt_is_a_miss(self, lm):
+        """A prompt EQUAL to the prefix needs its last token's logits, which
+        the cached KV alone cannot give — it must take the plain path."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2)
+        eng.register_prefix(self.PREFIX)
+        rid = eng.submit(self.PREFIX, max_new_tokens=6)
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].token_ids == reference_tokens(lm, self.PREFIX, 6)
+
+    def test_prefix_with_sampling_seed(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        from kjarni_tpu.generate.sampling import SamplingParams
+        sp = SamplingParams(temperature=0.9, top_k=20, top_p=0.95, min_p=0.0)
+        prompt = self.PREFIX + " doctor went"
+
+        def run(with_prefix):
+            eng = ContinuousEngine(lm, slots=2)
+            if with_prefix:
+                eng.register_prefix(self.PREFIX)
+            rid = eng.submit(prompt, max_new_tokens=8, sampling=sp, seed=5)
+            return {fr.request_id: fr for fr in eng.run()}[rid].token_ids
+
+        assert run(True) == run(False)
