@@ -598,9 +598,21 @@ class DecoderLM:
         B = len(ids_list)
         max_len = max(len(i) for i in ids_list)
         bucket = seq_bucket(max_len, self.max_context)
+        max_new = gen.max_new_tokens if gen.max_new_tokens is not None else \
+            max(gen.max_length - max_len, 0)
+        max_steps = int(max(min(max_new, self.max_context - bucket - 1), 0))
+        if max_steps == 0:
+            return ["" for _ in prompts]
+        # right-size the per-call cache: the layer scan restacks the whole
+        # carried cache every decode step (BASELINE.md round-3 long-context
+        # memo), so allocating max_context would cost capacity-proportional
+        # HBM traffic; this cache never outlives the call, so it only needs
+        # prompt + generation, rounded to 256 for compile-key stability
+        T_b = min(self.max_context,
+                  -(-(bucket + max_steps + 1) // 256) * 256)
         ids = np.zeros((B, bucket), dtype=np.int32)
         positions = np.zeros((B, bucket), dtype=np.int32)
-        pad_mask = np.zeros((B, self.max_context), dtype=np.int32)
+        pad_mask = np.zeros((B, T_b), dtype=np.int32)
         for r, row in enumerate(ids_list):
             pad = bucket - len(row)
             ids[r, pad:] = row
@@ -608,14 +620,8 @@ class DecoderLM:
             pad_mask[r, pad:bucket] = 1
         pad_mask[:, bucket:] = 1  # decode slots are always real
 
-        max_new = gen.max_new_tokens if gen.max_new_tokens is not None else \
-            max(gen.max_length - max_len, 0)
-        max_steps = int(max(min(max_new, self.max_context - bucket - 1), 0))
-        if max_steps == 0:
-            return ["" for _ in prompts]
-
         prefill_b, decode_b = self._batch_fns(gen, B)
-        ck, cv = self.family.init_cache(self.config, B, self.max_context,
+        ck, cv = self.family.init_cache(self.config, B, T_b,
                                         self._cache_dtype)
         if self._mesh is not None:
             from ..parallel.mesh import shard_cache
