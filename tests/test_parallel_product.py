@@ -171,3 +171,16 @@ class TestServeAndCli:
         done = eng.run()
         assert done[0].request_id == rid
         assert done[0].text == ref
+
+    def test_continuous_prefix_cache_tp(self, llama_tp_dir):
+        """Cross-slot prompt-prefix caching under tensor parallelism: the
+        replicated prefix KV broadcast-copies into tp-sharded slot caches."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        ref_lm = DecoderLM(llama_tp_dir, max_context=64)
+        ref = ref_lm.generate("hello world the doctor", config=GREEDY)
+        lm = DecoderLM(llama_tp_dir, max_context=64, tp=4)
+        eng = ContinuousEngine(lm, slots=2, max_context=64)
+        eng.register_prefix("hello world")
+        rid = eng.submit("hello world the doctor", max_new_tokens=12)
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].text == ref
