@@ -153,6 +153,9 @@ class ContinuousEngine:
         self._next_id = 0
         self._queue: list[tuple] = []                   # waiting requests
         self._finished: list[FinishedRequest] = []
+        # serving telemetry (surfaced at /v1/batch_stats)
+        self.stats = {"submitted": 0, "finished": 0, "windows": 0,
+                      "admission_waves": 0, "prefix_hits": 0, "tokens": 0}
         self._prefill_cache: dict = {}
         # shared-prefix prompt cache (register_prefix): prefilled KV copied
         # into joining slots so admissions only compute their suffix
@@ -421,6 +424,7 @@ class ContinuousEngine:
         self._next_id += 1
         self._queue.append((rid, ids, max_new_tokens, sampling, seed,
                             repetition_penalty, no_repeat_ngram))
+        self.stats["submitted"] += 1
         if not defer_admit:
             self._admit()
         return rid
@@ -450,6 +454,9 @@ class ContinuousEngine:
                 (slot_idx, req))
         for (m, bucket), grp in groups.items():
             n = len(grp)
+            self.stats["admission_waves"] += 1
+            if m:
+                self.stats["prefix_hits"] += n
             npad = self.S            # fixed lane count: one jit per bucket
             ids_n = np.zeros((npad, bucket), np.int32)
             slots_n = np.zeros(npad, np.int32)
@@ -527,11 +534,13 @@ class ContinuousEngine:
             self._finish(slot_idx, "eos")
             return
         slot.generated.append(tok)
+        self.stats["tokens"] += 1
         slot.remaining -= 1
         if slot.remaining <= 0:
             self._finish(slot_idx, "length")
 
     def _finish(self, slot_idx: int, reason: str) -> None:
+        self.stats["finished"] += 1
         slot = self._slots[slot_idx]
         self._finished.append(FinishedRequest(
             request_id=slot.request_id,
@@ -574,6 +583,7 @@ class ContinuousEngine:
         k = 1
         while k < needed and k * 2 <= self.steps_per_sync:
             k *= 2
+        self.stats["windows"] += 1
         plain = all(s.plain for s in self._slots if s.active)
         # working-cache bucket: highest active frontier + this window,
         # rounded up to the bucket step (one compiled variant per bucket)

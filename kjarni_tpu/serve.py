@@ -306,7 +306,8 @@ class _Engine:
             return {"batch_sizes": {m: list(b.batch_sizes)
                                     for m, b in self._batchers.items()},
                     "continuous": {m: {"active": r._engine.num_active,
-                                       "waiting": r._engine.num_waiting}
+                                       "waiting": r._engine.num_waiting,
+                                       **r._engine.stats}
                                    for m, r in self._continuous_runners.items()}}
         if path == "/v1/chat":
             # per-session conversation state: {"session": "abc"} isolates users

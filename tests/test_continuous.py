@@ -328,3 +328,18 @@ class TestPrefixCache:
             return {fr.request_id: fr for fr in eng.run()}[rid].token_ids
 
         assert run(True) == run(False)
+
+
+class TestEngineStats:
+    def test_counters(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2)
+        eng.register_prefix("hello world")
+        eng.submit("hello world the doctor", max_new_tokens=6)
+        eng.submit("data is safe with", max_new_tokens=6)
+        eng.run()
+        s = eng.stats
+        assert s["submitted"] == 2 and s["finished"] == 2
+        assert s["prefix_hits"] == 1
+        assert s["windows"] >= 1 and s["admission_waves"] >= 2
+        assert s["tokens"] <= 12

@@ -478,3 +478,18 @@ class TestKvBucketedDecode:
         lm = DecoderLM(d, max_context=96)
         lm._kv_bucket_step = 8
         assert lm.generate("data is safe with", config=cfg) == expected
+
+
+class TestKvBucketedInt8Cache:
+    def test_bucketed_segments_with_int8_kv(self, llama_dir):
+        """Working-cache slicing must handle the quantized DICT cache (q
+        [L,B,Hkv,T,D] + per-position scales s [L,B,Hkv,T] both slice on the
+        T axis and write back)."""
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=30, max_length=96)
+        full = DecoderLM(d, dtype="f32", max_context=96, kv_cache="int8")
+        expected = full.generate("hello world the doctor", config=cfg)
+        lm = DecoderLM(d, dtype="f32", max_context=96, kv_cache="int8")
+        lm._kv_bucket_step = 16
+        got = lm.generate("hello world the doctor", config=cfg)
+        assert got == expected
