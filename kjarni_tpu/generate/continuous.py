@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.bucketing import seq_bucket
+from ..core.kvcache import slice_working, write_back
 from ..core.errors import GenerationError
 from .sampling import (NEG_INF, SamplingParams, apply_no_repeat_ngram,
                        apply_repetition_penalty, min_p_filter, top_p_filter)
@@ -214,9 +215,8 @@ class ContinuousEngine:
             full_ck, full_cv = ck, cv
             if kv_bucket is not None:
                 # [S, L, 1, Hkv, T, D]: T is axis 4
-                sl = lambda a: jax.lax.slice_in_dim(a, 0, kv_bucket, axis=4)
-                ck = jax.tree.map(sl, ck)
-                cv = jax.tree.map(sl, cv)
+                ck = slice_working(ck, kv_bucket, axis=4)
+                cv = slice_working(cv, kv_bucket, axis=4)
             # vmap the B=1 forward over the slot axis: each slot attends its
             # own cache at its own frontier and samples with its own params
             # and PRNG key — then fuse k such iterations in one dispatch
@@ -256,10 +256,8 @@ class ContinuousEngine:
                 0, k_steps, body,
                 (toks, ck, cv, keys, hist, hist_len, out))
             if kv_bucket is not None:
-                wb = lambda a, aw: jax.lax.dynamic_update_slice(
-                    a, aw, (0,) * a.ndim)
-                ck = jax.tree.map(wb, full_ck, ck)
-                cv = jax.tree.map(wb, full_cv, cv)
+                ck = write_back(full_ck, ck)
+                cv = write_back(full_cv, cv)
             return out, toks, ck, cv, keys, hist, hist_len
 
         return step
@@ -276,9 +274,8 @@ class ContinuousEngine:
             raise GenerationError(
                 f"prefix ({len(ids)} tokens) leaves no room in slot "
                 f"capacity {self.T}")
-        dt = self.cache_k.dtype if not isinstance(self.cache_k, dict) \
-            else jnp.bfloat16
-        ck1, cv1 = self.family.init_cache(self.cfg, 1, len(ids), dt)
+        ck1, cv1 = self.family.init_cache(self.cfg, 1, len(ids),
+                                          self.cache_k.dtype)
         _, ck1, cv1 = self.family.forward(
             self.lm.params, self.cfg,
             jnp.asarray([ids], jnp.int32), ck1, cv1, jnp.int32(0))
@@ -450,7 +447,12 @@ class ContinuousEngine:
             # and at least one suffix token remains to produce logits
             m = P if (P and len(ids) > P and ids[:P] == self._prefix_ids) \
                 else 0
-            groups.setdefault((m, seq_bucket(len(ids) - m)), []).append(
+            # cap the prefill block at the remaining capacity: an uncapped
+            # bucket at pos_start=m would make _cache_write's
+            # dynamic_update_slice CLAMP the start index and land the
+            # suffix K/V at shifted positions — silent corruption
+            groups.setdefault(
+                (m, seq_bucket(len(ids) - m, self.T - m)), []).append(
                 (slot_idx, req))
         for (m, bucket), grp in groups.items():
             n = len(grp)

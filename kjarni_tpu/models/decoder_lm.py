@@ -31,6 +31,7 @@ import numpy as np
 
 from ..core.bucketing import seq_bucket
 from ..core.cancellation import CancellationToken
+from ..core.kvcache import slice_working, write_back
 from ..core.errors import GenerationError, InvalidConfigError
 from ..core.stats import GenerationStats
 from ..chat_templates import ChatTemplate, Conversation, template_for_arch
@@ -278,9 +279,8 @@ class DecoderLM:
             # instead of a capacity-sized restack
             full_ck, full_cv = ck, cv
             if kv_bucket is not None:
-                sl = lambda a: jax.lax.slice_in_dim(a, 0, kv_bucket, axis=3)
-                ck = jax.tree.map(sl, ck)
-                cv = jax.tree.map(sl, cv)
+                ck = slice_working(ck, kv_bucket, axis=3)
+                cv = slice_working(cv, kv_bucket, axis=3)
             lg = process_logits(logits, history, hist_len, pen, ngram)
             rng, sub = jax.random.split(rng)
             tok = sample_token(lg, sub, sp, greedy)
@@ -288,10 +288,8 @@ class DecoderLM:
             new_logits, ck, cv = fwd(params, cfg, tok[None, None], ck, cv,
                                      hist_len)
             if kv_bucket is not None:
-                wb = lambda a, aw: jax.lax.dynamic_update_slice(
-                    a, aw, (0,) * a.ndim)
-                ck = jax.tree.map(wb, full_ck, ck)
-                cv = jax.tree.map(wb, full_cv, cv)
+                ck = write_back(full_ck, ck)
+                cv = write_back(full_cv, cv)
             return tok, new_logits[0], ck, cv, history, rng
 
         self._steps[key] = step
@@ -329,9 +327,8 @@ class DecoderLM:
             # capacity-sized copies here amortize over the whole segment.
             full_ck, full_cv = ck, cv
             if kv_bucket is not None:
-                sl = lambda a: jax.lax.slice_in_dim(a, 0, kv_bucket, axis=3)
-                ck = jax.tree.map(sl, ck)
-                cv = jax.tree.map(sl, cv)
+                ck = slice_working(ck, kv_bucket, axis=3)
+                cv = slice_working(cv, kv_bucket, axis=3)
             out = jnp.full((max_steps,), -1, jnp.int32)
             bound = (jnp.int32(max_steps) if n_steps is None
                      else jnp.minimum(n_steps, max_steps))
@@ -358,10 +355,8 @@ class DecoderLM:
                 (jnp.int32(0), jnp.bool_(False), logits, ck, cv, history, rng,
                  out))
             if kv_bucket is not None:
-                wb = lambda a, aw: jax.lax.dynamic_update_slice(
-                    a, aw, (0,) * a.ndim)
-                ck = jax.tree.map(wb, full_ck, ck)
-                cv = jax.tree.map(wb, full_cv, cv)
+                ck = write_back(full_ck, ck)
+                cv = write_back(full_cv, cv)
             n = i - done.astype(jnp.int32)  # drop the stop token if emitted
             return out, n, done, logits, ck, cv, history, rng
 

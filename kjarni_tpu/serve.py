@@ -51,6 +51,11 @@ class _Engine:
         if scheduler not in ("batch", "continuous"):
             raise KjarniError(f"unknown scheduler '{scheduler}' "
                               f"(expected 'batch' or 'continuous')")
+        if prompt_prefix and scheduler != "continuous":
+            raise KjarniError(
+                "--prompt-prefix is a continuous-scheduler feature; it "
+                "would be silently ignored under --scheduler batch — add "
+                "--scheduler continuous")
         self.scheduler = scheduler
         self._lock = threading.Lock()
         self._cache: dict[tuple[str, str], Any] = {}

@@ -195,7 +195,7 @@ class ContinuousRunner:
                     # ms to arrive so the first wave admits full — one
                     # batched prefill instead of a half-empty first window
                     deadline = time.monotonic() + 0.008
-                    while (len(incoming) + len(self._incoming) < eng.S
+                    while (len(incoming) < eng.S
                            and time.monotonic() < deadline):
                         self._cv.wait(timeout=0.002)
                         incoming += self._incoming

@@ -343,3 +343,23 @@ class TestEngineStats:
         assert s["prefix_hits"] == 1
         assert s["windows"] >= 1 and s["admission_waves"] >= 2
         assert s["tokens"] <= 12
+
+    def test_prefix_suffix_bucket_capped_at_capacity(self, lm):
+        """Regression: a suffix whose padded bucket would overrun the slot
+        capacity at pos_start=m must be capped (uncapped, _cache_write's
+        dynamic_update_slice clamps the start index and lands the suffix KV
+        at shifted positions — silently wrong output)."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        prefix = "hello world the doctor went to keeping the physician"
+        long_suffix = " " + " ".join(["data is safe with mondays"] * 13)
+        prompt = prefix + long_suffix
+        eng = ContinuousEngine(lm, slots=1, max_context=96, steps_per_sync=4)
+        n = eng.register_prefix(prefix)
+        ids = lm.encode_prompt(prompt, add_bos=True)
+        # the scenario only bites if the suffix's uncapped bucket overruns
+        sfx = len(ids) - n
+        from kjarni_tpu.core.bucketing import seq_bucket
+        assert n + seq_bucket(sfx) > 96, "fixture no longer hits the corner"
+        rid = eng.submit(prompt, max_new_tokens=4)
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].token_ids == reference_tokens(lm, prompt, 4)
