@@ -111,7 +111,8 @@ class ContinuousEngine:
     """
 
     def __init__(self, lm, slots: int = 8, max_context: Optional[int] = None,
-                 no_repeat_ngram_size: int = 0, steps_per_sync: int = 8):
+                 no_repeat_ngram_size: int = 0, steps_per_sync: int = 8,
+                 auto_prefix_min: int = 32):
         self.lm = lm
         self.family = lm.family   # llama family or gpt2: same forward shape
         self.cfg = lm.config
@@ -159,9 +160,14 @@ class ContinuousEngine:
                       "admission_waves": 0, "prefix_hits": 0, "tokens": 0}
         self._prefill_cache: dict = {}
         # shared-prefix prompt cache (register_prefix): prefilled KV copied
-        # into joining slots so admissions only compute their suffix
+        # into joining slots so admissions only compute their suffix.
+        # auto_prefix_min > 0 also LEARNS the prefix from traffic (two
+        # prompts sharing that many leading tokens trigger registration);
+        # 0 disables auto-detection.
         self._prefix_ids: list[int] = []
         self._prefix_kv = None
+        self.auto_prefix_min = auto_prefix_min
+        self._auto_candidate: Optional[list] = None
         # Up to `steps_per_sync` decode iterations fuse per host dispatch
         # (lax.fori_loop inside the jitted step): slots join/leave at window
         # granularity, and the per-token host roundtrip (≈30 ms over a
@@ -269,7 +275,10 @@ class ContinuousEngine:
         The single-stream analogue is DecoderLM._prefill_with_reuse; this
         is the serving-side version (e.g. a shared system prompt). Returns
         the cached token count. Beyond-reference feature."""
-        ids = self.lm.encode_prompt(prompt, add_bos=True)
+        return self._register_prefix_ids(
+            self.lm.encode_prompt(prompt, add_bos=True))
+
+    def _register_prefix_ids(self, ids: list) -> int:
         if len(ids) + 1 + self.steps_per_sync >= self.T:
             raise GenerationError(
                 f"prefix ({len(ids)} tokens) leaves no room in slot "
@@ -279,9 +288,34 @@ class ContinuousEngine:
         _, ck1, cv1 = self.family.forward(
             self.lm.params, self.cfg,
             jnp.asarray([ids], jnp.int32), ck1, cv1, jnp.int32(0))
-        self._prefix_ids = ids
+        self._prefix_ids = list(ids)
         self._prefix_kv = (ck1, cv1)    # [L, 1, Hkv, P, D]
         return len(ids)
+
+    def _maybe_auto_prefix(self, ids: list) -> None:
+        """Automatic prompt-caching: learn the shared prefix from traffic.
+        The first prompt becomes the candidate; when a later prompt shares
+        >= auto_prefix_min leading tokens with it, that common prefix is
+        materialized ONCE (register_prefix) and every subsequent matching
+        request admits suffix-only. Detection happens a single time so the
+        (prefix_len, bucket) jit-variant space stays fixed."""
+        if self._prefix_ids or not self.auto_prefix_min:
+            return
+        if self._auto_candidate is None:
+            self._auto_candidate = list(ids)
+            return
+        cand = self._auto_candidate
+        limit = min(len(cand), len(ids) - 1)
+        m = 0
+        while m < limit and cand[m] == ids[m]:
+            m += 1
+        if m >= self.auto_prefix_min \
+                and m + 1 + self.steps_per_sync < self.T:
+            self._register_prefix_ids(ids[:m])
+        else:
+            # keep the newer prompt as candidate so a drifting workload can
+            # still converge on its current common prefix
+            self._auto_candidate = list(ids)
 
     def _admit_fn(self, bucket: int, m: int = 0):
         """Fused BATCHED admission: prefill n requests into n free slots,
@@ -406,6 +440,7 @@ class ContinuousEngine:
                 "engine was built with no_repeat_ngram_size<=1; pass it to "
                 "ContinuousEngine(...) to enable per-request ngram blocking")
         ids = self.lm.encode_prompt(prompt, add_bos=True)
+        self._maybe_auto_prefix(ids)
         # worst-case cache frontier: prefill + decode writes. A slot
         # finishing mid-window (EOS, or another slot pinning a larger
         # adaptive k) still writes its whole window, so reserve one maximal

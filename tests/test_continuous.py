@@ -363,3 +363,46 @@ class TestEngineStats:
         rid = eng.submit(prompt, max_new_tokens=4)
         done = {fr.request_id: fr for fr in eng.run()}
         assert done[rid].token_ids == reference_tokens(lm, prompt, 4)
+
+
+class TestAutoPrefix:
+    """auto_prefix_min: the engine LEARNS a shared prompt prefix from
+    traffic — two prompts sharing enough leading tokens trigger a one-time
+    registration; later matching requests admit suffix-only."""
+
+    BASE = " ".join(["hello world the doctor went"] * 7)   # ~36 tokens
+
+    def test_auto_detection_and_equality(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        p1 = self.BASE + " data is safe"
+        p2 = self.BASE + " mondays are great"
+        p3 = self.BASE + " keeping the physician"
+        eng = ContinuousEngine(lm, slots=2, auto_prefix_min=16)
+        assert not eng._prefix_ids
+        r1 = eng.submit(p1, max_new_tokens=5)
+        assert not eng._prefix_ids          # first prompt = candidate only
+        r2 = eng.submit(p2, max_new_tokens=5)
+        assert eng._prefix_ids              # learned from the common prefix
+        r3 = eng.submit(p3, max_new_tokens=5)
+        done = {fr.request_id: fr for fr in eng.run()}
+        for rid, p in ((r1, p1), (r2, p2), (r3, p3)):
+            assert done[rid].token_ids == reference_tokens(lm, p, 5), p
+        assert eng.stats["prefix_hits"] >= 1
+
+    def test_no_detection_below_threshold(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2, auto_prefix_min=16)
+        eng.submit("hello world the", max_new_tokens=4)
+        eng.submit("hello world the doctor", max_new_tokens=4)
+        assert not eng._prefix_ids          # common prefix is too short
+        eng.run()
+
+    def test_auto_disabled(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        p1 = self.BASE + " data"
+        p2 = self.BASE + " mondays"
+        eng = ContinuousEngine(lm, slots=2, auto_prefix_min=0)
+        eng.submit(p1, max_new_tokens=4)
+        eng.submit(p2, max_new_tokens=4)
+        assert not eng._prefix_ids
+        eng.run()
