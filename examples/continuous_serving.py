@@ -34,6 +34,17 @@ def main():
     for fr in eng.run():
         print(f"[{fr.request_id}] ({fr.finish_reason}) {fr.text}")
 
+    # Prompt caching across slots: register a shared system prompt (or let
+    # the engine auto-detect one — two prompts sharing >=32 leading tokens
+    # trigger it) and admissions compute only the per-request suffix.
+    system = "You are a concise assistant. Answer in one sentence.\n\n"
+    eng.register_prefix(system)
+    eng.submit(system + "Why is the sky blue?", max_new_tokens=32)
+    eng.submit(system + "Name a prime above 100.", max_new_tokens=16)
+    for fr in eng.run():
+        print(f"[{fr.request_id}] {fr.text}")
+    print("engine stats:", eng.stats)   # incl. prefix_hits
+
 
 if __name__ == "__main__":
     main()
