@@ -248,12 +248,21 @@ class _Engine:
                                           cancellation=cancel):
                         yield st.text
             return run(), cancel
+        if path in ("/v1/completions", "/v1/chat/completions"):
+            from . import serve_openai
+            return serve_openai.stream(self, path, body)
         raise KjarniError(f"streaming not supported for {path}")
 
     # ------------------------------------------------------------------
 
     def handle(self, path: str, body: dict) -> dict:
         model = body.get("model")
+        if path == "/v1/completions":
+            from . import serve_openai
+            return serve_openai.completion(self, body)
+        if path == "/v1/chat/completions":
+            from . import serve_openai
+            return serve_openai.chat_completion(self, body)
         if path == "/v1/classify":
             clf = self.get("classify", model)
             if "texts" in body:
@@ -374,9 +383,10 @@ def make_handler(engine: _Engine):
                                                   f"stream {self.path}")
                     except StopIteration:
                         break
+                    payload = (piece if isinstance(piece, dict)
+                               else {"text": piece})
                     self.wfile.write(
-                        b"data: " + json.dumps({"text": piece}).encode()
-                        + b"\n\n")
+                        b"data: " + json.dumps(payload).encode() + b"\n\n")
                     self.wfile.flush()
                 self.wfile.write(b"data: [DONE]\n\n")
             except (BrokenPipeError, ConnectionResetError):
@@ -390,8 +400,9 @@ def make_handler(engine: _Engine):
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
-                if body.get("stream") and self.path in ("/v1/generate",
-                                                        "/v1/chat"):
+                if body.get("stream") and self.path in (
+                        "/v1/generate", "/v1/chat",
+                        "/v1/completions", "/v1/chat/completions"):
                     self._reply_sse(body)
                     return
                 out = call_with_timeout(
