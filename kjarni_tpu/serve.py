@@ -356,11 +356,18 @@ def make_handler(engine: _Engine):
             if self.path == "/health":
                 self._reply(200, {"status": "ok"})
             elif self.path == "/v1/models":
-                self._reply(200, {"models": [
+                listing = [
                     {"name": m.cli_name, "task": m.task.value,
                      "architecture": m.architecture.value,
                      "downloaded": registry.is_downloaded(m)}
-                    for m in registry.all_models()]})
+                    for m in registry.all_models()]
+                # dual-shape: kjarni's "models" plus the OpenAI list form so
+                # client.models.list() works against this server too
+                self._reply(200, {
+                    "models": listing,
+                    "object": "list",
+                    "data": [{"id": m["name"], "object": "model",
+                              "owned_by": "kjarni"} for m in listing]})
             else:
                 self._reply(404, {"error": "not found"})
 

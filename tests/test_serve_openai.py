@@ -166,3 +166,14 @@ class TestOpenAIStreaming:
         assert chunks[0]["choices"][0]["delta"] == {"role": "assistant"}
         assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
         assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+
+
+class TestOpenAIModels:
+    def test_models_list_openai_shape(self, server):
+        base, _ = server
+        with urllib.request.urlopen(base + "/v1/models") as r:
+            out = json.loads(r.read())
+        assert out["object"] == "list"
+        assert all(m["object"] == "model" for m in out["data"])
+        assert {m["id"] for m in out["data"]} == \
+            {m["name"] for m in out["models"]}
