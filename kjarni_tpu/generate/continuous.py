@@ -415,12 +415,13 @@ class ContinuousEngine:
 
     # ------------------------------------------------------------------
 
-    def submit(self, prompt: str, max_new_tokens: int = 128,
+    def submit(self, prompt: Optional[str] = None, max_new_tokens: int = 128,
                sampling: Optional[SamplingParams] = None,
                seed: Optional[int] = None,
                repetition_penalty: float = 1.0,
                no_repeat_ngram: bool = False,
-               defer_admit: bool = False) -> int:
+               defer_admit: bool = False,
+               token_ids: Optional[list] = None) -> int:
         """Queue a request; it joins the running batch at the next step.
 
         sampling=None (or temperature<=0) decodes greedily; otherwise the
@@ -439,7 +440,12 @@ class ContinuousEngine:
             raise GenerationError(
                 "engine was built with no_repeat_ngram_size<=1; pass it to "
                 "ContinuousEngine(...) to enable per-request ngram blocking")
-        ids = self.lm.encode_prompt(prompt, add_bos=True)
+        if token_ids is not None:
+            ids = list(token_ids)        # pre-encoded (e.g. serve_openai)
+        elif prompt is not None:
+            ids = self.lm.encode_prompt(prompt, add_bos=True)
+        else:
+            raise GenerationError("either prompt or token_ids is required")
         self._maybe_auto_prefix(ids)
         # worst-case cache frontier: prefill + decode writes. A slot
         # finishing mid-window (EOS, or another slot pinning a larger

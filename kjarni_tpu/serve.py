@@ -362,12 +362,16 @@ def make_handler(engine: _Engine):
                      "downloaded": registry.is_downloaded(m)}
                     for m in registry.all_models()]
                 # dual-shape: kjarni's "models" plus the OpenAI list form so
-                # client.models.list() works against this server too
+                # client.models.list() works against this server too; the
+                # OpenAI array lists only models the completions endpoints
+                # can actually serve
                 self._reply(200, {
                     "models": listing,
                     "object": "list",
                     "data": [{"id": m["name"], "object": "model",
-                              "owned_by": "kjarni"} for m in listing]})
+                              "owned_by": "kjarni"} for m in listing
+                             if m["task"] in ("generation", "chat",
+                                              "reasoning")]})
             else:
                 self._reply(404, {"error": "not found"})
 

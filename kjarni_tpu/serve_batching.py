@@ -23,15 +23,18 @@ from typing import Any, Callable, Optional
 
 
 class _Request:
-    __slots__ = ("prompt", "key", "kwargs", "done", "result", "error")
+    __slots__ = ("prompt", "key", "kwargs", "done", "result", "error",
+                 "want_full")
 
-    def __init__(self, prompt: str, key: tuple, kwargs: dict):
+    def __init__(self, prompt: str, key: tuple, kwargs: dict,
+                 want_full: bool = False):
         self.prompt = prompt
         self.key = key
         self.kwargs = kwargs
         self.done = threading.Event()
-        self.result: Optional[str] = None
+        self.result = None         # str, or FinishedRequest when want_full
         self.error: Optional[BaseException] = None
+        self.want_full = want_full
 
 
 class DynamicBatcher:
@@ -162,8 +165,22 @@ class ContinuousRunner:
     def submit(self, prompt: str, max_new_tokens: int = 128,
                sampling: Any = None, seed: Any = None,
                **_ignored: Any) -> str:
-        req = _Request(prompt, (), {"max_new_tokens": max_new_tokens,
-                                    "sampling": sampling, "seed": seed})
+        return self._submit(_Request(
+            prompt, (), {"max_new_tokens": max_new_tokens,
+                         "sampling": sampling, "seed": seed}))
+
+    def submit_full(self, *, token_ids=None, prompt: str = None,
+                    max_new_tokens: int = 128, sampling: Any = None,
+                    seed: Any = None):
+        """Like submit() but returns the engine's FinishedRequest (token
+        ids + finish_reason) and accepts pre-encoded token_ids — the
+        OpenAI layer needs both for usage accounting."""
+        return self._submit(_Request(
+            prompt, (), {"max_new_tokens": max_new_tokens,
+                         "sampling": sampling, "seed": seed,
+                         "token_ids": token_ids}, want_full=True))
+
+    def _submit(self, req: _Request):
         with self._cv:
             if self._stopped:
                 raise RuntimeError("runner is shut down")
@@ -172,7 +189,7 @@ class ContinuousRunner:
         req.done.wait()
         if req.error is not None:
             raise req.error
-        return req.result  # type: ignore[return-value]
+        return req.result
 
     def shutdown(self) -> None:
         with self._cv:
@@ -214,5 +231,5 @@ class ContinuousRunner:
             for fr in eng.drain():
                 req = self._by_rid.pop(fr.request_id, None)
                 if req is not None:
-                    req.result = fr.text
+                    req.result = fr if req.want_full else fr.text
                     req.done.set()

@@ -175,5 +175,105 @@ class TestOpenAIModels:
             out = json.loads(r.read())
         assert out["object"] == "list"
         assert all(m["object"] == "model" for m in out["data"])
-        assert {m["id"] for m in out["data"]} == \
-            {m["name"] for m in out["models"]}
+        names = {m["id"] for m in out["data"]}
+        # OpenAI array lists only generation-capable models
+        gen_names = {m["name"] for m in out["models"]
+                     if m["task"] in ("generation", "chat", "reasoning")}
+        assert names == gen_names
+        assert names  # non-empty
+        assert not any(m["task"] == "embedding" and m["name"] in names
+                       for m in out["models"])
+
+
+class TestReviewFixes:
+    def test_null_fields_treated_as_defaults(self, server):
+        base, _ = server
+        code, out = post(base, "/v1/completions",
+                         {"prompt": "hello world", "max_tokens": None,
+                          "temperature": None, "top_p": None})
+        assert code == 200
+        assert out["choices"][0]["text"] is not None
+
+    def test_empty_stop_string_ignored(self, server):
+        base, _ = server
+        code, out = post(base, "/v1/completions",
+                         {"prompt": "hello world the doctor",
+                          "max_tokens": 6, "temperature": 0, "stop": ""})
+        assert code == 200
+        assert out["choices"][0]["text"] != "" or \
+            out["usage"]["completion_tokens"] == 0
+
+    def test_n_validation(self, server):
+        base, _ = server
+        code, out = post(base, "/v1/completions",
+                         {"prompt": "x", "n": 0, "max_tokens": 2})
+        assert code == 400 and "n" in out["error"]
+        code, out = post(base, "/v1/completions",
+                         {"prompt": "x", "n": 20, "max_tokens": 2})
+        assert code == 400
+
+    def test_seeded_n_choices_differ(self, server):
+        base, _ = server
+        code, out = post(base, "/v1/completions",
+                         {"prompt": "the doctor went", "max_tokens": 8,
+                          "temperature": 1.2, "seed": 3, "n": 4})
+        assert code == 200
+        texts = [c["text"] for c in out["choices"]]
+        assert len(set(texts)) > 1, "all seeded choices identical"
+
+    def test_empty_prompt_list_rejected(self, server):
+        base, _ = server
+        code, out = post(base, "/v1/completions",
+                         {"prompt": [], "max_tokens": 2})
+        assert code == 400
+
+    def test_stream_multi_prompt_rejected(self, server):
+        base, _ = server
+        code, out = post(base, "/v1/completions",
+                         {"prompt": ["a", "b"], "stream": True,
+                          "max_tokens": 2})
+        assert code == 500 or code == 400  # rejected before streaming
+
+
+class TestOpenAIContinuousScheduler:
+    def test_completion_routes_through_continuous(self, tmp_path):
+        """Under --scheduler continuous, OpenAI completions share the slot
+        engine; output must equal the direct path."""
+        import torch
+        from http.server import ThreadingHTTPServer
+        from transformers import LlamaConfig, LlamaForCausalLM
+        from kjarni_tpu.serve import _Engine, make_handler
+
+        d = tmp_path / "oai_cont"
+        d.mkdir()
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = LlamaConfig(vocab_size=len(vm), hidden_size=32,
+                             intermediate_size=64, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=2,
+                             max_position_embeddings=64, bos_token_id=2,
+                             eos_token_id=3, tie_word_embeddings=False)
+        torch.manual_seed(94)
+        save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+
+        def serve_with(scheduler):
+            engine = _Engine({"generate": str(d), "chat": str(d)},
+                             scheduler=scheduler, max_batch=4)
+            srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            return srv, f"http://127.0.0.1:{srv.server_port}"
+
+        body = {"prompt": "hello world the doctor", "max_tokens": 8,
+                "temperature": 0}
+        srv1, base1 = serve_with("batch")
+        _, direct = post(base1, "/v1/completions", body)
+        srv1.shutdown()
+        srv2, base2 = serve_with("continuous")
+        code, cont = post(base2, "/v1/completions", body)
+        stats = post(base2, "/v1/batch_stats", {})[1]
+        srv2.shutdown()
+        assert code == 200
+        assert cont["choices"][0]["text"] == direct["choices"][0]["text"]
+        assert cont["usage"] == direct["usage"]
+        # proof it actually went through the slot engine
+        assert any(v.get("submitted", 0) >= 1
+                   for v in stats["continuous"].values())
