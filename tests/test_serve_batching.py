@@ -231,3 +231,61 @@ class TestServeContinuous:
         from kjarni_tpu.serve import _Engine
         with pytest.raises(KjarniError, match="unknown scheduler"):
             _Engine({}, scheduler="vllm")
+
+
+class TestServePromptPrefix:
+    def test_prompt_prefix_e2e(self, tmp_path):
+        """serve --prompt-prefix: requests starting with the prefix reuse
+        its KV (visible as prefix_hits in /v1/batch_stats) and outputs stay
+        identical to a server without the prefix."""
+        import json
+        import urllib.request
+        import torch
+        from helpers import build_word_tokenizer, save_torch_model
+        from transformers import LlamaConfig, LlamaForCausalLM
+        from kjarni_tpu.serve import _Engine, KjarniHTTPServer, make_handler
+
+        d = tmp_path / "lm"
+        d.mkdir()
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = LlamaConfig(vocab_size=len(vm), hidden_size=32,
+                             intermediate_size=64, num_hidden_layers=1,
+                             num_attention_heads=2, num_key_value_heads=2,
+                             max_position_embeddings=64, bos_token_id=2,
+                             eos_token_id=3, tie_word_embeddings=False)
+        torch.manual_seed(24)
+        save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+
+        def post(base, path, payload):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req) as r:
+                return json.loads(r.read())
+
+        def start(prefix):
+            engine = _Engine({"generate": str(d)}, max_batch=2,
+                             scheduler="continuous", prompt_prefix=prefix)
+            srv = KjarniHTTPServer(("127.0.0.1", 0), make_handler(engine))
+            import threading
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            return srv, f"http://127.0.0.1:{srv.server_port}"
+
+        prompt = "hello world the doctor went"
+        body = {"prompt": prompt, "max_new_tokens": 8, "preset": "greedy"}
+        srv0, base0 = start(None)
+        plain = post(base0, "/v1/generate", body)["text"]
+        srv0.shutdown()
+        srv1, base1 = start("hello world the")
+        got = post(base1, "/v1/generate", body)["text"]
+        stats = post(base1, "/v1/batch_stats", {})
+        srv1.shutdown()
+        assert got == plain
+        assert any(v.get("prefix_hits", 0) >= 1
+                   for v in stats["continuous"].values())
+
+    def test_prompt_prefix_requires_continuous(self):
+        from kjarni_tpu.core.errors import KjarniError
+        from kjarni_tpu.serve import _Engine
+        with pytest.raises(KjarniError, match="continuous"):
+            _Engine({}, scheduler="batch", prompt_prefix="sys")
