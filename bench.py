@@ -385,6 +385,66 @@ def bench_summarize():
                       "vs_baseline": round(per_sec, 3)}))
 
 
+_METRIC_NAMES = {
+    "embed": "minilm_l6_v2_embed_sentences_per_sec",
+    "decode": "llama_1b_decode_bf16_tok_per_sec",
+    "decode-int8": "llama_1b_decode_int8_tok_per_sec",
+    "decode-int4": "llama_1b_decode_int4_tok_per_sec",
+    "whisper": "whisper_small_x_realtime",
+    "whisper-long": "whisper_small_long_audio_x_realtime",
+    "summarize": "distilbart_cnn_summaries_per_sec",
+}
+
+
+def _emit_skip(metric, reason):
+    """One parseable line, exit 0 — the driver records a structured skip
+    instead of an unparseable traceback (VERDICT r3 item 2)."""
+    print(json.dumps({"metric": _METRIC_NAMES.get(metric, metric), "value": 0,
+                      "unit": "skipped", "vs_baseline": 0.0,
+                      "skipped": True, "reason": reason}))
+
+
+def _backend_ready(timeout=None):
+    """Probe jax backend init in a SUBPROCESS with a bounded timeout.
+
+    On this image a dead axon tunnel makes the first in-process backend init
+    (any jax.devices()) hang ~25 minutes before raising (measured, round 3) —
+    a try/except in this process cannot bound that. The child inherits the
+    env untouched (no PYTHONPATH: it breaks axon plugin registration)."""
+    import os
+    import subprocess
+    import sys
+
+    if timeout is None:
+        timeout = int(os.environ.get("KJARNI_BENCH_PROBE_TIMEOUT", "180"))
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True, ""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True, ""
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        p = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, f"axon tunnel down: backend init hung >{timeout}s"
+    if p.returncode != 0:
+        lines = (p.stderr or "").strip().splitlines()
+        tail = lines[-1][:200] if lines else f"rc={p.returncode}"
+        return False, f"axon tunnel down: backend init failed: {tail}"
+    return True, ""
+
+
+def _is_backend_error(e):
+    name = type(e).__name__
+    if name in ("JaxRuntimeError", "XlaRuntimeError"):
+        return True
+    if isinstance(e, (OSError, ConnectionError, TimeoutError)):
+        return True
+    s = str(e)
+    return any(sig in s for sig in ("axon", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                                    "tunnel", "backend setup"))
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
@@ -392,19 +452,34 @@ def main():
                     choices=["embed", "decode", "decode-int8", "decode-int4",
                              "whisper", "whisper-long", "summarize"])
     args = ap.parse_args()
-    if args.metric == "decode":
-        return bench_decode(False)
-    if args.metric == "decode-int8":
-        return bench_decode("int8")
-    if args.metric == "decode-int4":
-        return bench_decode("int4")
-    if args.metric == "whisper":
-        return bench_whisper()
-    if args.metric == "whisper-long":
-        return bench_whisper_long()
-    if args.metric == "summarize":
-        return bench_summarize()
-    bench_embed()
+
+    ok, reason = _backend_ready()
+    if not ok:
+        time.sleep(60)                       # one delayed retry
+        ok, reason = _backend_ready()
+    if not ok:
+        return _emit_skip(args.metric, reason)
+
+    try:
+        if args.metric == "decode":
+            return bench_decode(False)
+        if args.metric == "decode-int8":
+            return bench_decode("int8")
+        if args.metric == "decode-int4":
+            return bench_decode("int4")
+        if args.metric == "whisper":
+            return bench_whisper()
+        if args.metric == "whisper-long":
+            return bench_whisper_long()
+        if args.metric == "summarize":
+            return bench_summarize()
+        return bench_embed()
+    except Exception as e:  # tunnel died mid-run: structured skip, not rc=1
+        if _is_backend_error(e):
+            return _emit_skip(args.metric,
+                              f"backend error mid-run: {type(e).__name__}: "
+                              f"{str(e)[:200]}")
+        raise
 
 
 def bench_embed():
