@@ -26,6 +26,7 @@ import numpy as np
 
 from ..core.bucketing import seq_bucket
 from ..core.cancellation import CancellationToken
+from ..core.kvcache import slice_working, write_back
 from ..core.errors import GenerationError
 from ..core.stats import GenerationStats
 from .sampling import GenerationConfig
@@ -63,9 +64,19 @@ class SpeculativeGenerator:
         t_fwd = self.target.family.forward_all_logits
         d_fwd = self.draft.family.forward_all_logits
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def draft_scan(params, ck, cv, cur, pos):
-            """k+1 greedy draft steps; returns d1..dk and their logits."""
+        @partial(jax.jit, donate_argnums=(1, 2),
+                 static_argnames=("kv_bucket",))
+        def draft_scan(params, ck, cv, cur, pos, *, kv_bucket=None):
+            """k+1 greedy draft steps; returns d1..dk and their logits.
+
+            fill-proportional: the k+1-step scan restacks the carried cache
+            every step, so carry a kv_bucket working slice and write it back
+            once per round (core/kvcache.py mechanism)."""
+            full_ck, full_cv = ck, cv
+            if kv_bucket is not None:
+                ck = slice_working(ck, kv_bucket, axis=3)
+                cv = slice_working(cv, kv_bucket, axis=3)
+
             def body(carry, i):
                 tok, ck, cv = carry
                 logits, ck, cv = d_fwd(params, d_cfg, tok[None, None], ck, cv,
@@ -74,12 +85,23 @@ class SpeculativeGenerator:
                 return (nxt, ck, cv), (nxt, logits[0, 0])
             (last, ck, cv), (toks, logits) = jax.lax.scan(
                 body, (cur, ck, cv), jnp.arange(k + 1))
+            if kv_bucket is not None:
+                ck = write_back(full_ck, ck)
+                cv = write_back(full_cv, cv)
             return toks[:k], logits[:k], ck, cv
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def target_pass(params, ck, cv, tokens, pos):
+        @partial(jax.jit, donate_argnums=(1, 2),
+                 static_argnames=("kv_bucket",))
+        def target_pass(params, ck, cv, tokens, pos, *, kv_bucket=None):
             """tokens [k+1] = [cur, d1..dk]; logits at every position."""
+            full_ck, full_cv = ck, cv
+            if kv_bucket is not None:
+                ck = slice_working(ck, kv_bucket, axis=3)
+                cv = slice_working(cv, kv_bucket, axis=3)
             logits, ck, cv = t_fwd(params, t_cfg, tokens[None, :], ck, cv, pos)
+            if kv_bucket is not None:
+                ck = write_back(full_ck, ck)
+                cv = write_back(full_cv, cv)
             return logits[0], ck, cv  # [k+1, V]
 
         @jax.jit
@@ -120,17 +142,30 @@ class SpeculativeGenerator:
                                dtype=jnp.int32)
 
         @partial(jax.jit, donate_argnums=(2, 3, 4, 5),
-                 static_argnames=("max_new", "max_pos"))
+                 static_argnames=("width", "kv_bucket"))
         def fused_loop(t_params, d_params, tck, tcv, dck, dcv, cur0, pos0,
-                       rng, *, max_new, max_pos):
-            """The whole speculative loop on device: draft-scan -> target
-            verify -> accept, iterated in a while_loop with on-device EOS exit.
-            One dispatch (+ one readback) per generation."""
-            out = jnp.full((max_new,), -1, jnp.int32)
+                       rng, n_bound, max_pos, *, width, kv_bucket=None):
+            """The speculative loop on device: draft-scan -> target verify ->
+            accept, iterated in a while_loop with on-device EOS exit.
+
+            Resumable segment form: n_bound/max_pos are dynamic so the caller
+            can decode in kv-bucketed segments (generate() below) on a
+            kv_bucket working slice of both caches — the per-round scans
+            restack whatever cache they carry, so at long contexts carrying
+            the full allocation costs capacity-proportional HBM traffic
+            (core/kvcache.py; BASELINE.md round-3 memo). `width` is the
+            static out-buffer size; the emit cutoff uses dynamic n_bound."""
+            full_tck, full_tcv, full_dck, full_dcv = tck, tcv, dck, dcv
+            if kv_bucket is not None:
+                tck = slice_working(tck, kv_bucket, axis=3)
+                tcv = slice_working(tcv, kv_bucket, axis=3)
+                dck = slice_working(dck, kv_bucket, axis=3)
+                dcv = slice_working(dcv, kv_bucket, axis=3)
+            out = jnp.full((width,), -1, jnp.int32)
 
             def cond(state):
                 done, cur, pos, tck, tcv, dck, dcv, out, n_out, rounds, rng = state
-                return jnp.logical_not(done) & (n_out < max_new) &                     (pos + k + 2 < max_pos)
+                return jnp.logical_not(done) & (n_out < n_bound) &                     (pos + k + 2 < max_pos)
 
             def body(state):
                 done, cur, pos, tck, tcv, dck, dcv, out, n_out, rounds, rng = state
@@ -161,14 +196,19 @@ class SpeculativeGenerator:
                 is_stop = jnp.any(emit[:, None] == stop_ids[None, :], axis=1)
                 stop_seen = jnp.cumsum((is_stop & emit_valid)
                                        .astype(jnp.int32)) > 0
-                keep = emit_valid & jnp.logical_not(stop_seen) &                     (n_out + jnp.cumsum(emit_valid.astype(jnp.int32)) - 1
-                     < max_new)
+                # no budget cutoff here: a round always records ALL its kept
+                # tokens (cache/pos advance past them regardless), and the
+                # CALLER truncates at the global budget — cutting mid-round
+                # would silently drop accepted tokens across segment resumes.
+                # cond guarantees n_out < n_bound <= width - k - 1 on entry,
+                # so the buffer always fits the round's k+1 tokens.
+                keep = emit_valid & jnp.logical_not(stop_seen)
                 # scatter kept tokens into out at running positions
                 slot = n_out + jnp.cumsum(keep.astype(jnp.int32)) - 1
-                out = out.at[jnp.where(keep, slot, max_new)].set(
+                out = out.at[jnp.where(keep, slot, width)].set(
                     jnp.where(keep, emit, -1), mode="drop")
                 n_kept = jnp.sum(keep.astype(jnp.int32))
-                done = jnp.any(is_stop & emit_valid) |                     (n_out + n_kept >= max_new)
+                done = jnp.any(is_stop & emit_valid)
                 return (done, nxt, pos + n_acc + 1, tck, tcv, dck, dcv, out,
                         n_out + n_kept, rounds + 1, rng)
 
@@ -176,7 +216,13 @@ class SpeculativeGenerator:
                      jnp.int32(0), jnp.int32(0), rng)
             state = jax.lax.while_loop(cond, body, state)
             done, cur, pos, tck, tcv, dck, dcv, out, n_out, rounds, rng = state
-            return out, n_out, rounds, pos - pos0, tck, tcv, dck, dcv
+            if kv_bucket is not None:
+                tck = write_back(full_tck, tck)
+                tcv = write_back(full_tcv, tcv)
+                dck = write_back(full_dck, dck)
+                dcv = write_back(full_dcv, dcv)
+            return (out, n_out, rounds, pos - pos0, done, cur,
+                    tck, tcv, dck, dcv)
 
         self._fused_loop = fused_loop
 
@@ -241,11 +287,21 @@ class SpeculativeGenerator:
                 if pos + self.k + 2 >= min(target.max_context,
                                            draft.max_context, gen.max_length):
                     break
+                # fill-proportional round: both per-round dispatches carry a
+                # bucket-sized working slice of their cache (the static
+                # bucket changes every _kv_bucket_step tokens, so the jit
+                # cache holds one variant per crossed bucket)
+                kbs = getattr(target, "_kv_bucket_step", 512)
+                kb = -(-(pos + self.k + 2) // kbs) * kbs  # covers pos..pos+k
+                kb_d = None if kb >= draft.max_context else kb
+                kb_t = None if kb >= target.max_context else kb
                 d_toks, d_logits, dck, dcv = self._draft_scan(
-                    draft.params, dck, dcv, cur, jnp.int32(pos))
+                    draft.params, dck, dcv, cur, jnp.int32(pos),
+                    kv_bucket=kb_d)
                 tokens_in = jnp.concatenate([cur[None], d_toks])
                 t_logits, tck, tcv = self._target_pass(
-                    target.params, tck, tcv, tokens_in, jnp.int32(pos))
+                    target.params, tck, tcv, tokens_in, jnp.int32(pos),
+                    kv_bucket=kb_t)
                 if self.probabilistic:
                     n_acc, nxt, rng = self._verify_prob(t_logits, d_logits,
                                                         d_toks, rng)
@@ -326,17 +382,42 @@ class SpeculativeGenerator:
         toks = [c]
         self.last_rounds = self.last_drafted = self.last_accepted = 0
         if max_new > 1:
-            out, n, rounds, advanced, tck, tcv, dck, dcv = self._fused_loop(
-                target.params, draft.params, tck, tcv, dck, dcv, cur,
-                jnp.int32(prompt_len),
-                jax.random.PRNGKey(gen.seed or 0),
-                max_new=int(max_new - 1), max_pos=int(max_pos))
-            toks += [int(t) for t in np.asarray(out[:int(n)]) if t >= 0]
-            r = int(rounds)
-            # pos advances n_acc+1 per round, so accepted = advanced - rounds
-            self.last_rounds = r
-            self.last_drafted = r * self.k
-            self.last_accepted = max(int(advanced) - r, 0)
+            # kv-bucketed segments (same fill-proportional design as
+            # DecoderLM.generate): each fused dispatch decodes on a working
+            # slice of BOTH caches sized to the current bucket, so step cost
+            # tracks fill, not the max_context allocation
+            KB_STEP = getattr(target, "_kv_bucket_step", 512)
+            width = int(KB_STEP)
+            alloc = min(target.max_context, draft.max_context)
+            rng = jax.random.PRNGKey(gen.seed or 0)
+            pos = prompt_len
+            remaining = int(max_new - 1)
+            while remaining > 0 and pos + self.k + 2 < max_pos:
+                # bucket must leave headroom for at least one k+1-token round
+                kb = -(-(pos + self.k + 3) // KB_STEP) * KB_STEP
+                if kb >= alloc:
+                    kb = None        # bucket would cover the whole cache
+                mp = min(kb, max_pos) if kb is not None else max_pos
+                n_bound = min(remaining, width - self.k - 1)
+                (out, n, rounds, advanced, stopped, cur, tck, tcv, dck,
+                 dcv) = self._fused_loop(
+                    target.params, draft.params, tck, tcv, dck, dcv, cur,
+                    jnp.int32(pos), rng, jnp.int32(n_bound), jnp.int32(mp),
+                    width=width, kv_bucket=kb)
+                seg_toks = [int(t) for t in np.asarray(out[:int(n)])
+                            if t >= 0]
+                r = int(rounds)
+                adv = int(advanced)
+                # pos advances n_acc+1 per round: accepted = advanced - rounds
+                self.last_rounds += r
+                self.last_drafted += r * self.k
+                self.last_accepted += max(adv - r, 0)
+                take = min(len(seg_toks), remaining)
+                toks += seg_toks[:take]
+                remaining -= take
+                pos += adv
+                if bool(stopped) or take < len(seg_toks) or r == 0:
+                    break
         target._cache = (tck, tcv)
         draft._cache = (dck, dcv)
         target._session_ids = []

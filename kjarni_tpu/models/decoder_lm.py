@@ -539,39 +539,55 @@ class DecoderLM:
             return logits, ck, cv  # [B, V]
 
         @partial(jax.jit, donate_argnums=(1, 2, 4),
-                 static_argnames=("max_steps",))
+                 static_argnames=("max_steps", "kv_bucket"))
         def decode_b(params, ck, cv, logits, history, slot0, lens0,
-                     pad_mask, rng, *, max_steps):
+                     pad_mask, rng, done0, i0, n_steps=None, *, max_steps,
+                     kv_bucket=None):
             # slot0: shared cache slot of the first generated token;
-            # lens0 [B]: per-row true history length (ragged prompts)
+            # lens0 [B]: per-row true history length (ragged prompts);
+            # i0: global step offset of this segment (resumable state so
+            # generate_batch can decode in kv-bucketed segments).
+            # fill-proportional decode (same mechanism as the single-stream
+            # fused loop above): the layer scan restacks the carried cache
+            # every step, so carry a kv_bucket-wide working slice and write
+            # it back once per segment.
             B = logits.shape[0]
+            full_ck, full_cv = ck, cv
+            if kv_bucket is not None:
+                ck = slice_working(ck, kv_bucket, axis=3)
+                cv = slice_working(cv, kv_bucket, axis=3)
+                pad_mask = pad_mask[:, :kv_bucket]
             out = jnp.full((B, max_steps), -1, jnp.int32)
+            bound = (jnp.int32(max_steps) if n_steps is None
+                     else jnp.minimum(n_steps, max_steps))
 
             def cond(state):
                 i, done, *_ = state
-                return (i < max_steps) & jnp.logical_not(jnp.all(done))
+                return (i < bound) & jnp.logical_not(jnp.all(done))
 
             def body(state):
                 i, done, logits, ck, cv, history, rng, out = state
                 rng, sub = jax.random.split(rng)
-                toks = v_sample(logits, history, lens0 + i,
+                toks = v_sample(logits, history, lens0 + i0 + i,
                                 jax.random.split(sub, B))
                 is_stop = jnp.any(toks[:, None] == stop_ids[None, :], axis=1)
                 done_new = done | is_stop
                 out = out.at[:, i].set(jnp.where(done_new, -1, toks))
                 history = jax.vmap(
-                    lambda h, t, l: h.at[l + i].set(t, mode="drop")
+                    lambda h, t, l: h.at[l + i0 + i].set(t, mode="drop")
                 )(history, toks, lens0)
                 new_logits, ck, cv = fwd(
-                    params, cfg, toks[:, None], ck, cv, slot0 + i,
-                    positions=(lens0 + i)[:, None], pad_mask=pad_mask)
+                    params, cfg, toks[:, None], ck, cv, slot0 + i0 + i,
+                    positions=(lens0 + i0 + i)[:, None], pad_mask=pad_mask)
                 return i + 1, done_new, new_logits, ck, cv, history, rng, out
 
             i, done, logits, ck, cv, history, rng, out = jax.lax.while_loop(
                 cond, body,
-                (jnp.int32(0), jnp.zeros((B,), jnp.bool_), logits, ck, cv,
-                 history, rng, out))
-            return out, ck, cv
+                (jnp.int32(0), done0, logits, ck, cv, history, rng, out))
+            if kv_bucket is not None:
+                ck = write_back(full_ck, ck)
+                cv = write_back(full_cv, cv)
+            return out, done, logits, ck, cv, history, rng
 
         fns = (prefill_b, decode_b)
         self._steps[key] = fns
@@ -629,11 +645,34 @@ class DecoderLM:
             history[r, :len(row)] = row
         lens0 = jnp.asarray([len(r) for r in ids_list], dtype=jnp.int32)
         seed = gen.seed if gen.seed is not None else _random.getrandbits(31)
-        out, ck, cv = decode_b(
-            self.params, ck, cv, logits, jnp.asarray(history),
-            jnp.int32(bucket), lens0, jnp.asarray(pad_mask),
-            jax.random.PRNGKey(seed), max_steps=max_steps)
-        out = np.asarray(out)
+        # kv-bucketed segments, like generate(): decode on a working slice of
+        # the cache sized to the current 512-multiple bucket so early steps
+        # move fill-proportional (not T_b-proportional) HBM traffic; the out
+        # buffer is always KB_STEP wide with a dynamic n_steps bound, so the
+        # jit cache holds one variant per (config, B, bucket) independent of
+        # max_new_tokens
+        KB_STEP = self._kv_bucket_step
+        rng = jax.random.PRNGKey(seed)
+        history_d = jnp.asarray(history)
+        pad_mask_d = jnp.asarray(pad_mask)
+        done = jnp.zeros((B,), jnp.bool_)
+        chunks = []
+        i0 = 0
+        while i0 < max_steps:
+            kb = -(-(bucket + i0 + 1) // KB_STEP) * KB_STEP
+            if kb >= T_b:
+                kb = None        # bucket would cover the whole cache
+            seg = min(max_steps - i0,
+                      (kb - (bucket + i0)) if kb is not None else KB_STEP)
+            seg_out, done, logits, ck, cv, history_d, rng = decode_b(
+                self.params, ck, cv, logits, history_d, jnp.int32(bucket),
+                lens0, pad_mask_d, rng, done, jnp.int32(i0), jnp.int32(seg),
+                max_steps=int(KB_STEP), kv_bucket=kb)
+            chunks.append(np.asarray(seg_out[:, :seg]))
+            i0 += seg
+            if bool(jnp.all(done)):
+                break
+        out = np.concatenate(chunks, axis=1)
         texts = []
         for r in range(B):
             toks = [int(t) for t in out[r] if t >= 0]

@@ -192,6 +192,53 @@ class TestBatchGenerate:
             [lm.generate("hello", config=cfg)]
 
 
+class TestBatchKvBucketedDecode:
+    """generate_batch decodes in kv-bucketed segments on a working slice of
+    the cache (same fill-proportional mechanism as generate()); shrinking the
+    bucket step forces several segment crossings whose output must equal the
+    single-segment full-cache run."""
+
+    PROMPTS = ["hello world", "the doctor and the physician went",
+               "keeping data safe"]
+
+    def test_batch_segments_match_full_cache_greedy(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=40, max_length=96)
+        full = DecoderLM(d, max_context=96)          # step 512: unbucketed
+        expected = full.generate_batch(self.PROMPTS, config=cfg)
+        lm = DecoderLM(d, max_context=96)
+        lm._kv_bucket_step = 16                      # buckets 16,32,48,...
+        assert lm.generate_batch(self.PROMPTS, config=cfg) == expected
+
+    def test_batch_segments_match_full_cache_sampled(self, llama_dir):
+        """The rng/done/logits/history handoff across segment boundaries must
+        be exact: a seeded sampled batch crossing buckets equals the
+        unbucketed run with the same seed."""
+        d, _ = llama_dir
+        cfg = GenerationConfig(
+            strategy="sample", max_new_tokens=40, max_length=96, seed=123,
+            sampling=SamplingParams(temperature=0.9, top_k=20, top_p=0.95,
+                                    min_p=0.0))
+        full = DecoderLM(d, max_context=96)
+        expected = full.generate_batch(self.PROMPTS, config=cfg)
+        lm = DecoderLM(d, max_context=96)
+        lm._kv_bucket_step = 16
+        assert lm.generate_batch(self.PROMPTS, config=cfg) == expected
+
+    def test_batch_eos_mid_segment(self, llama_dir):
+        """Per-row stop tokens inside inner segments end rows exactly as the
+        full-cache path does, including the all-done early exit."""
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=60, max_length=96)
+        full = DecoderLM(d, max_context=96)
+        expected = full.generate_batch(
+            ["data is safe with", "hello"], config=cfg)
+        lm = DecoderLM(d, max_context=96)
+        lm._kv_bucket_step = 8
+        assert lm.generate_batch(
+            ["data is safe with", "hello"], config=cfg) == expected
+
+
 class TestInt8Quantized:
     def test_int8_generation_close_to_f32(self, llama_dir):
         d, _ = llama_dir

@@ -188,3 +188,58 @@ class TestFusedSpeculative:
         vanilla = target.generate("doctor physician", config=cfg, fused=False)
         spec = SpeculativeGenerator(target, draft, num_tokens=3)
         assert spec.generate("doctor physician", config=cfg) == vanilla
+
+
+class TestSpecKvBucketedDecode:
+    """Speculative decode carries bucket-sized working slices of both caches
+    (core/kvcache.py); shrinking the bucket step forces several segment /
+    bucket crossings whose output must equal the full-cache run."""
+
+    @pytest.fixture(scope="class")
+    def dirs(self, tmp_path_factory):
+        t = make_llama_dir(tmp_path_factory.mktemp("kvb_t"), seed=31, layers=3)
+        d = make_llama_dir(tmp_path_factory.mktemp("kvb_d"), seed=32,
+                           layers=1, hidden=32)
+        return t, d
+
+    def _spec(self, dirs, step=None):
+        t, d = dirs
+        target = DecoderLM(t, max_context=96)
+        draft = DecoderLM(d, max_context=96)
+        if step is not None:
+            target._kv_bucket_step = step
+            draft._kv_bucket_step = step
+        return SpeculativeGenerator(target, draft, num_tokens=4)
+
+    def test_fused_segments_match_full_cache(self, dirs):
+        cfg = GenerationConfig.greedy(max_new_tokens=40, max_length=96)
+        expected = self._spec(dirs).generate("hello world the", config=cfg)
+        got = self._spec(dirs, step=16).generate("hello world the",
+                                                 config=cfg)
+        assert got == expected
+
+    def test_fused_segments_match_vanilla(self, dirs):
+        """Cross-check against the non-speculative decoder, which uses its
+        own independent bucketing implementation."""
+        t, _ = dirs
+        cfg = GenerationConfig.greedy(max_new_tokens=40, max_length=96)
+        vanilla = DecoderLM(t, max_context=96).generate(
+            "doctor physician", config=cfg, fused=False)
+        got = self._spec(dirs, step=16).generate("doctor physician",
+                                                 config=cfg)
+        assert got == vanilla
+
+    def test_stream_bucketed_matches_full_cache(self, dirs):
+        cfg = GenerationConfig.greedy(max_new_tokens=40, max_length=96)
+        expected = [st.id for st in self._spec(dirs).generate_stream(
+            "keeping the physician", config=cfg)]
+        got = [st.id for st in self._spec(dirs, step=16).generate_stream(
+            "keeping the physician", config=cfg)]
+        assert got == expected
+
+    def test_fused_eos_mid_segment(self, dirs):
+        cfg = GenerationConfig.greedy(max_new_tokens=60, max_length=96)
+        expected = self._spec(dirs).generate("data is safe with", config=cfg)
+        got = self._spec(dirs, step=8).generate("data is safe with",
+                                                config=cfg)
+        assert got == expected
