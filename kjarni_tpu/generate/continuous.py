@@ -182,6 +182,16 @@ class ContinuousEngine:
         # working-cache bucket granularity (see _build_step); tests shrink it
         # to cross buckets cheaply on tiny models
         self._kv_bucket_step = 512
+        self._dtype = dt
+        # admission prefill memory gate (see _admit_fn): above this f32-score
+        # byte bound a wave routes through flash (TPU, llama family) or
+        # chunked prefill instead of materializing one [n, H, S, T] score
+        # block — same 2 GB gate as the single-stream path
+        # (decoder_lm._prefill_with_reuse); tests shrink it to force the
+        # chunked path on tiny models
+        self._admit_score_limit = 2_000_000_000
+        self._flash_ok = bool(getattr(lm, "_flash_ok", False))
+        self._admit_plans: dict = {}   # (bucket, m) -> chosen memory plan
 
     # ------------------------------------------------------------------
 
@@ -342,8 +352,42 @@ class ContinuousEngine:
         if fn is not None:
             return fn
         cfg = self.cfg
-        fwd_all = self.family.forward_all_logits
+        fwd_hidden = self.family.forward_hidden
+        head_fn = self.family.head_logits
         ngram = self.no_repeat_ngram_size
+
+        # --- admission memory plan (static per (bucket, m) variant) -------
+        # The wave attends the slot caches over the working range [0, kb);
+        # a materialized score block costs 4*H*S*kb bytes per lane in f32.
+        # Under the limit the single fused pass wins; above it, flash (no
+        # score materialization) where available, else the suffix prefills
+        # in chunks whose score blocks stay bounded — either way a
+        # multi-thousand-token prompt joining an 8-slot long-context engine
+        # cannot OOM the device (VERDICT r3 item 4).
+        n_lanes = self.S
+        kb = min(-(-(m + bucket) // 256) * 256, self.T)
+        if kb >= self.T:
+            kb = None                    # working range covers the cache
+        eff_kb = kb if kb is not None else self.T
+        limit = self._admit_score_limit
+        score_bytes = 4 * cfg.num_heads * bucket * eff_kb * n_lanes
+        chunk = None
+        if score_bytes <= limit:
+            mode = "plain"
+        elif self._flash_ok:
+            mode = "flash"
+        else:
+            mode = "plain"               # bucket < 128: block is tiny anyway
+            for c in (2048, 1024, 512, 256, 128):
+                if bucket % c == 0 and c < bucket:
+                    mode, chunk = "chunked", c
+                    if 4 * cfg.num_heads * c * eff_kb * n_lanes <= limit:
+                        break            # largest dividing chunk under limit
+        emb = self.lm.params["embed"]
+        h_dim = int(emb.shape[-1])
+        self._admit_plans[(bucket, m)] = {
+            "mode": mode, "chunk": chunk, "kb": eff_kb,
+            "score_bytes": score_bytes}
 
         @partial(jax.jit,
                  donate_argnums=(2, 3, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
@@ -370,14 +414,48 @@ class ContinuousEngine:
                 cvb = jax.lax.dynamic_update_slice(
                     cvb, jnp.broadcast_to(pv, bshape).astype(cvb.dtype),
                     (0, 0, 0, 0, 0))
-            all_logits, ckb, cvb = fwd_all(params, cfg, ids_n, ckb, cvb,
-                                           jnp.int32(m))
+            # decode on the [0, kb) working slice (write back after): the
+            # admission pass and its scores see only the working range
+            full_ckb = full_cvb = None
+            if kb is not None:
+                full_ckb, full_cvb = ckb, cvb
+                ckb = slice_working(ckb, kb, axis=3)
+                cvb = slice_working(cvb, kb, axis=3)
             # right-padded rows: row r's prompt ends at last_idx_n[r]; its
             # causal query there attends only its own real tokens, and the
             # garbage K/V beyond it sit past the decode frontier until
             # overwritten (same discipline as llama.py forward's docstring)
-            logits_n = jnp.take_along_axis(
-                all_logits, last_idx_n[:, None, None], axis=1)[:, 0]
+            if mode == "chunked":
+                def chunk_body(carry, i):
+                    ckb, cvb, last_h = carry
+                    blk = jax.lax.dynamic_slice_in_dim(ids_n, i * chunk,
+                                                       chunk, axis=1)
+                    x, ckb, cvb = fwd_hidden(params, cfg, blk, ckb, cvb,
+                                             m + i * chunk)
+                    idx = jnp.clip(last_idx_n - i * chunk, 0, chunk - 1)
+                    cand = jnp.take_along_axis(
+                        x, idx[:, None, None], axis=1)[:, 0]
+                    sel = ((last_idx_n >= i * chunk) &
+                           (last_idx_n < (i + 1) * chunk))
+                    last_h = jnp.where(sel[:, None],
+                                       cand.astype(last_h.dtype), last_h)
+                    return (ckb, cvb, last_h), None
+
+                last_h0 = jnp.zeros((ids_n.shape[0], h_dim), ckb.dtype)
+                (ckb, cvb, last_h), _ = jax.lax.scan(
+                    chunk_body, (ckb, cvb, last_h0),
+                    jnp.arange(bucket // chunk))
+            else:
+                x, ckb, cvb = fwd_hidden(
+                    params, cfg, ids_n, ckb, cvb, jnp.int32(m),
+                    use_flash=(mode == "flash"),
+                    kv_bucket=(eff_kb if mode == "flash" else None))
+                last_h = jnp.take_along_axis(
+                    x, last_idx_n[:, None, None], axis=1)[:, 0]
+            if full_ckb is not None:
+                ckb = write_back(full_ckb, ckb)
+                cvb = write_back(full_cvb, cvb)
+            logits_n = head_fn(params, cfg, last_h)
 
             def lane(l, key0, tail, tl, fp, tk, ng):
                 valid = jnp.arange(_HIST_BUF) < tl

@@ -169,3 +169,16 @@ def forward(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start,
 def forward_all_logits(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start):
     x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v, pos_start)
     return x @ params["lm_head"], cache_k, cache_v
+
+
+def forward_hidden(params, cfg: Gpt2Config, ids, cache_k, cache_v, pos_start,
+                   use_flash: bool = False, positions=None, pad_mask=None,
+                   kv_bucket=None):
+    """Stack without the lm-head (cf. llama.forward_hidden)."""
+    return _run_stack(params, cfg, ids, cache_k, cache_v, pos_start,
+                      use_flash, positions, pad_mask, kv_bucket)
+
+
+def head_logits(params, cfg: Gpt2Config, x):
+    """lm-head projection over pre-gathered hidden rows."""
+    return x @ params["lm_head"]

@@ -563,3 +563,21 @@ def forward_all_logits(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
     x, cache_k, cache_v = _run_stack(params, cfg, ids, cache_k, cache_v, pos_start)
     logits = _head_mm(x, params["lm_head"], cfg)
     return logits, cache_k, cache_v
+
+
+def forward_hidden(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
+                   cache_k: jnp.ndarray, cache_v: jnp.ndarray, pos_start,
+                   use_flash: bool = False, positions=None, pad_mask=None,
+                   kv_bucket: Optional[int] = None):
+    """Stack without the lm-head: final-norm hidden states at every position.
+
+    Lets callers project only the rows they need (e.g. batched admission
+    prefill gathers one hidden per lane before head_logits) instead of
+    materializing [B, S, V] logits for a long block."""
+    return _run_stack(params, cfg, ids, cache_k, cache_v, pos_start,
+                      use_flash, positions, pad_mask, kv_bucket)
+
+
+def head_logits(params: dict, cfg: DecoderConfig, x: jnp.ndarray):
+    """lm-head projection over pre-gathered hidden rows."""
+    return _head_mm(x, params["lm_head"], cfg)

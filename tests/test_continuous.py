@@ -406,3 +406,102 @@ class TestAutoPrefix:
         eng.submit(p2, max_new_tokens=4)
         assert not eng._prefix_ids
         eng.run()
+
+
+class TestChunkedAdmission:
+    """Long-prompt admission must not materialize one [n, H, S, T] f32 score
+    block (VERDICT r3 item 4): above the engine's score-byte gate the wave
+    prefills the suffix in bounded chunks on a [0, kb) working slice of the
+    slot caches. Forcing a tiny gate on a tiny model exercises the chunked
+    variant; output must equal the default single-pass admission."""
+
+    @pytest.fixture(scope="class")
+    def big_lm(self, tmp_path_factory):
+        """1024-context model: prompt buckets >= 256 are 128-divisible, so
+        a forced score gate can actually pick the chunked plan (the module
+        fixture's 96-token context never chunks at 128 granularity)."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+        d = tmp_path_factory.mktemp("chunk_lm")
+        vocab_map = build_word_tokenizer(d / "tokenizer.json",
+                                         bert_style=False)
+        config = LlamaConfig(vocab_size=len(vocab_map), hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             max_position_embeddings=1024, bos_token_id=2,
+                             eos_token_id=3, tie_word_embeddings=False)
+        torch.manual_seed(11)
+        save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+        return DecoderLM(d, max_context=1024)
+
+    LONG_IDS = [[2] + [5 + (i * 7 + s) % 20 for i in range(n)]
+                for s, n in ((0, 200), (3, 170), (9, 240))]
+
+    def test_chunked_matches_plain_admission(self, big_lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        plain = ContinuousEngine(big_lm, slots=4)
+        forced = ContinuousEngine(big_lm, slots=4)
+        forced._admit_score_limit = 1          # every 256-bucket wave chunks
+        out_p = {}
+        out_f = {}
+        for eng, out in ((plain, out_p), (forced, out_f)):
+            rids = {eng.submit(token_ids=ids, max_new_tokens=8): i
+                    for i, ids in enumerate(self.LONG_IDS)}
+            for fr in eng.run():
+                out[rids[fr.request_id]] = fr.token_ids
+        assert any(pl["mode"] == "chunked"
+                   for pl in forced._admit_plans.values()), \
+            forced._admit_plans
+        assert all(pl["mode"] == "plain"
+                   for pl in plain._admit_plans.values())
+        assert out_f == out_p
+
+    def test_chunked_midflight_join(self, big_lm):
+        """A chunked admission joining a RUNNING decode still lands the
+        same tokens (cache write-back interleaves with live slots)."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(big_lm, slots=4)
+        eng._admit_score_limit = 1
+        eng.submit(token_ids=self.LONG_IDS[0], max_new_tokens=12)
+        for _ in range(3):
+            eng.step()
+        late = eng.submit(token_ids=self.LONG_IDS[2], max_new_tokens=8)
+        done = {fr.request_id: fr for fr in eng.run()}
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=1024)
+        expected = [st.id for st in big_lm.generate_stream(
+            token_ids=self.LONG_IDS[2], config=cfg)]
+        assert done[late].token_ids == expected
+
+    def test_4k_prompt_16k_context_8_slots(self, tmp_path):
+        """The headline scenario: a ~4k-token prompt admitted into an 8-slot
+        engine at a 16k context. The default 2 GB gate picks the chunked
+        plan on CPU (no flash): score blocks stay bounded at
+        [8, H, chunk, kb] instead of [8, H, 4096, 16384]; tokens equal the
+        single-stream path."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+        d = tmp_path / "m"
+        d.mkdir()
+        vocab_map = build_word_tokenizer(d / "tokenizer.json",
+                                         bert_style=False)
+        config = LlamaConfig(vocab_size=len(vocab_map), hidden_size=64,
+                             intermediate_size=128, num_hidden_layers=2,
+                             num_attention_heads=4, num_key_value_heads=2,
+                             max_position_embeddings=16384, bos_token_id=2,
+                             eos_token_id=3, tie_word_embeddings=False)
+        torch.manual_seed(11)
+        save_torch_model(d, LlamaForCausalLM(config).eval(), config)
+        big = DecoderLM(d, max_context=16384)
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(big, slots=8)
+        # real gate, no override: 4*4*4096*4352*8 lanes = 2.28 GB > 2 GB
+        ids = [2] + [5 + (i * 7) % 20 for i in range(4000)]
+        rid = eng.submit(token_ids=ids, max_new_tokens=4)
+        done = {fr.request_id: fr for fr in eng.run()}
+        (plan,) = eng._admit_plans.values()
+        assert plan["mode"] == "chunked", plan
+        assert plan["kb"] < 16384, plan                 # working slice, not T
+        assert plan["chunk"] * plan["kb"] * 4 * 4 * 8 <= \
+            eng._admit_score_limit, plan
+        cfg = GenerationConfig.greedy(max_new_tokens=4, max_length=16384)
+        expected = [st.id for st in big.generate_stream(token_ids=ids,
+                                                        config=cfg)]
+        assert done[rid].token_ids == expected
