@@ -285,7 +285,11 @@ def bench_whisper_long():
     # rarely emit EOT, so this also bounds the run
     tcfg = WhisperTranscriberConfig(max_tokens_per_chunk=64)
 
-    wm.transcribe(audio[: 16000 * 30], tcfg)         # compile once
+    # warm the BATCHED wave variants (8-lane full wave + padded tail wave):
+    # chunks now decode batched (whisper_transcriber._transcribe_batched;
+    # per-lane equality vs serial pinned by test_whisper TestBatchedChunks),
+    # so the warmup must run the same full multi-chunk pipeline
+    wm.transcribe(audio, tcfg)
     t0 = _time.perf_counter()
     text, segments = wm.transcribe(audio, tcfg)
     elapsed = _time.perf_counter() - t0

@@ -67,6 +67,12 @@ class WhisperTranscriberConfig:
     compression_ratio_threshold: float = 2.4
     logprob_threshold: float = -1.0
     seed: int = 0
+    # long-audio throughput: chunks are independent after stitching, so
+    # mel+encode and the greedy decode run at B=min(n_chunks, chunk_batch)
+    # with per-chunk EOT (the reference decodes chunks serially,
+    # transcriber.rs:87). <=1 forces the serial path; streaming (on_token)
+    # always decodes serially for callback ordering.
+    chunk_batch: int = 16
 
 
 def compression_ratio(text: str) -> float:
@@ -209,6 +215,68 @@ class WhisperModel:
             return out, n + 1, sum_lp, sk, sv
 
         self._decode_loop = _decode_loop
+
+        @jax.jit
+        def _encode_chunks(params, audios):
+            """Batched mel + encode + cross-KV over [n, chunk_samples]."""
+            mel = jax.vmap(
+                lambda a: log_mel_spectrogram(a, self.mel_config))(audios)
+            mel = mel.astype(params["conv1_w"].dtype)
+            enc = kwhisper.encode(params, cfg, mel)
+            return kwhisper.precompute_cross_kv(params, cfg, enc)
+
+        self._encode_chunks = _encode_chunks
+
+        @partial(jax.jit, donate_argnums=(2, 3),
+                 static_argnames=("max_steps", "prompt_len"))
+        def _decode_loop_b(params, prompt_ids, sk, sv, ck, cv, allow, *,
+                           max_steps, prompt_len):
+            """Batched greedy decode over n independent chunks with per-row
+            EOT: finished rows keep stepping on fixed shapes but are pinned
+            to EOT, so each row's prefix equals its own B=1 greedy decode.
+            Returns per-row token buffers and logprob sums (the temperature
+            fallback re-checks rows host-side and retries stragglers through
+            the serial loop)."""
+            n = prompt_ids.shape[0]
+            enc_mask = jnp.ones((n, cfg.max_source_positions), jnp.int32)
+
+            def pick(logits):                       # [n, V] -> ([n], [n])
+                masked = jnp.where(allow[None, :],
+                                   logits.astype(jnp.float32), -jnp.inf)
+                tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+                lse = jax.nn.logsumexp(masked, axis=-1)
+                lp = jnp.take_along_axis(masked, tok[:, None],
+                                         axis=-1)[:, 0] - lse
+                return tok, lp
+
+            logits, sk, sv = kwhisper.decode_step(params, cfg, prompt_ids,
+                                                  sk, sv, ck, cv, enc_mask, 0)
+            tok, lp = pick(logits[:, -1])
+            out = jnp.full((n, max_steps + 1), EOT_TOKEN, jnp.int32)
+            out = out.at[:, 0].set(tok)
+            done0 = tok == EOT_TOKEN
+
+            def cond(state):
+                i, done, *_ = state
+                return (i < max_steps) & jnp.logical_not(jnp.all(done))
+
+            def body(state):
+                i, done, tok, out, sum_lp, sk, sv = state
+                logits, sk, sv = kwhisper.decode_step(
+                    params, cfg, tok[:, None], sk, sv, ck, cv, enc_mask,
+                    prompt_len + i)
+                nxt, lp = pick(logits[:, -1])
+                nxt = jnp.where(done, EOT_TOKEN, nxt)
+                out = out.at[:, i + 1].set(nxt)
+                sum_lp = sum_lp + jnp.where(done, 0.0, lp)
+                return (i + 1, done | (nxt == EOT_TOKEN), nxt, out,
+                        sum_lp, sk, sv)
+
+            i, done, tok, out, sum_lp, sk, sv = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), done0, tok, out, lp, sk, sv))
+            return out, sum_lp
+
+        self._decode_loop_b = _decode_loop_b
 
     # ------------------------------------------------------------------
 
@@ -367,17 +435,89 @@ class WhisperModel:
         """Full pipeline: chunk -> mel+encode -> decode -> stitch.
 
         language="auto" runs whisper-native detection on the first chunk.
+        Multi-chunk audio without a streaming callback runs the batched
+        pipeline (config.chunk_batch lanes per wave); streaming keeps the
+        serial order so on_token sees tokens in time order.
         """
         import dataclasses
         config = config or WhisperTranscriberConfig()
+        chunks = self.chunk_audio(audio)
+        if on_token is None and len(chunks) > 1 and config.chunk_batch > 1:
+            return self._transcribe_batched(chunks, config)
         results = []
-        for i, chunk in enumerate(self.chunk_audio(audio)):
+        for i, chunk in enumerate(chunks):
             cross_kv = self._encode_chunk(self.params, jnp.asarray(chunk))
             if config.language == "auto":
                 config = dataclasses.replace(
                     config, language=self.detect_language(cross_kv))
             results.append(self.decode_chunk(cross_kv, config,
                                              i * CHUNK_LENGTH_SECS, on_token))
+        return stitch_segments(results)
+
+    def _transcribe_batched(self, chunks: list[np.ndarray],
+                            config: WhisperTranscriberConfig
+                            ) -> tuple[str, list[WhisperSegment]]:
+        """Independent chunks decode together: waves of up to chunk_batch
+        lanes (bucketed so each lane count compiles once; partial waves pad
+        by repeating lane 0). Per-lane greedy output equals the serial
+        decode_chunk; temperature_fallback re-checks lanes host-side and
+        retries only degenerate chunks through the serial path. ~n_chunks x
+        aggregate throughput over the reference's serial loop
+        (transcriber.rs:87) at long audio."""
+        import dataclasses
+        from ..core.bucketing import batch_bucket
+        cfg = self.config
+        results: list[Optional[WhisperChunkResult]] = [None] * len(chunks)
+        prompt: Optional[list[int]] = None
+        wave_size = max(int(config.chunk_batch), 1)
+        for ws in range(0, len(chunks), wave_size):
+            wave = chunks[ws:ws + wave_size]
+            nb = min(batch_bucket(len(wave)), wave_size)
+            audios = np.stack(wave + [wave[0]] * (nb - len(wave)))
+            ck, cv = self._encode_chunks(self.params, jnp.asarray(audios))
+            if config.language == "auto" and prompt is None:
+                lane0 = (jax.lax.slice_in_dim(ck, 0, 1, axis=1),
+                         jax.lax.slice_in_dim(cv, 0, 1, axis=1))
+                config = dataclasses.replace(
+                    config, language=self.detect_language(lane0))
+            if prompt is None:
+                prompt = self.build_prompt_tokens(config)
+            max_len = min(len(prompt) + config.max_tokens_per_chunk + 1,
+                          cfg.max_target_positions)
+            cache_len = seq_bucket(max_len, cfg.max_target_positions)
+            max_steps = min(config.max_tokens_per_chunk,
+                            cache_len - len(prompt) - 1)
+            allow = (self._allow_ts if config.timestamps
+                     else self._allow_no_ts)
+            sk, sv = kwhisper.init_self_cache(cfg, nb, cache_len,
+                                              self.params["embed"].dtype)
+            prompt_b = jnp.asarray([prompt] * nb, jnp.int32)
+            out, sum_lp = self._decode_loop_b(
+                self.params, prompt_b, sk, sv, ck, cv, allow,
+                max_steps=max_steps, prompt_len=len(prompt))
+            out = np.asarray(out)
+            sum_lp = np.asarray(sum_lp)
+            for j in range(len(wave)):
+                row = [int(t) for t in out[j]]
+                if EOT_TOKEN in row:
+                    row = row[:row.index(EOT_TOKEN) + 1]
+                offset = (ws + j) * CHUNK_LENGTH_SECS
+                if config.temperature_fallback:
+                    text_ids = [i for i in row if i < FIRST_SPECIAL_TOKEN]
+                    text = self.tokenizer.decode(text_ids,
+                                                 skip_special_tokens=True)
+                    avg_lp = float(sum_lp[j]) / max(len(row), 1)
+                    if (compression_ratio(text) >
+                            config.compression_ratio_threshold
+                            or avg_lp < config.logprob_threshold):
+                        # degenerate greedy decode: retry this chunk alone
+                        # through the serial fallback ladder
+                        lane = (jax.lax.slice_in_dim(ck, j, j + 1, axis=1),
+                                jax.lax.slice_in_dim(cv, j, j + 1, axis=1))
+                        results[ws + j] = self.decode_chunk(lane, config,
+                                                            offset)
+                        continue
+                results[ws + j] = self._finalize_chunk(row, config, offset)
         return stitch_segments(results)
 
 

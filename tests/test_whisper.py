@@ -287,3 +287,73 @@ class TestTemperatureFallback:
             compression_ratio_threshold=1e9, logprob_threshold=-1e9)
         base = WhisperTranscriberConfig(max_tokens_per_chunk=4)
         assert wm.transcribe(audio, on)[0] == wm.transcribe(audio, base)[0]
+
+
+class TestBatchedChunks:
+    """Long-audio chunks decode batched (whisper_transcriber.py
+    _transcribe_batched): waves of chunk_batch lanes with per-row EOT must
+    reproduce the serial pipeline exactly (the reference decodes chunks one
+    by one, transcriber.rs:87)."""
+
+    def _model(self, tmp_path, seed=6):
+        whisper_checkpoint(tmp_path, seed=seed)
+        from helpers import build_word_tokenizer
+        build_word_tokenizer(tmp_path / "tokenizer.json", bert_style=False)
+        return WhisperModel(tmp_path)
+
+    def test_batched_matches_serial(self, tmp_path):
+        wm = self._model(tmp_path)
+        rng = np.random.default_rng(7)
+        audio = (0.1 * np.sin(2 * np.pi * 220.0 *
+                              np.arange(16000 * 75) / 16000.0)
+                 + 0.02 * rng.standard_normal(16000 * 75)).astype(np.float32)
+        assert len(wm.chunk_audio(audio)) == 3     # partial wave: pads to 4
+        serial = WhisperTranscriberConfig(max_tokens_per_chunk=4,
+                                          chunk_batch=1)
+        batched = WhisperTranscriberConfig(max_tokens_per_chunk=4,
+                                           chunk_batch=16)
+        t_s, seg_s = wm.transcribe(audio, serial)
+        t_b, seg_b = wm.transcribe(audio, batched)
+        assert t_b == t_s
+        assert [(s.start, s.end, s.text) for s in seg_b] == \
+            [(s.start, s.end, s.text) for s in seg_s]
+
+    def test_multiple_waves(self, tmp_path):
+        """chunk_batch smaller than n_chunks: several waves, offsets intact."""
+        wm = self._model(tmp_path, seed=7)
+        audio = np.zeros(16000 * 90, dtype=np.float32)   # 3 chunks
+        audio[::161] = 0.3
+        serial = WhisperTranscriberConfig(max_tokens_per_chunk=3,
+                                          chunk_batch=1)
+        waves = WhisperTranscriberConfig(max_tokens_per_chunk=3,
+                                         chunk_batch=2)  # 2 waves: 2+1
+        assert wm.transcribe(audio, waves) == wm.transcribe(audio, serial)
+
+    def test_batched_timestamps(self, tmp_path):
+        wm = self._model(tmp_path, seed=8)
+        rng = np.random.default_rng(8)
+        audio = (0.05 * rng.standard_normal(16000 * 61)).astype(np.float32)
+        serial = WhisperTranscriberConfig(max_tokens_per_chunk=4,
+                                          timestamps=True, chunk_batch=1)
+        batched = WhisperTranscriberConfig(max_tokens_per_chunk=4,
+                                           timestamps=True, chunk_batch=16)
+        t_s, seg_s = wm.transcribe(audio, serial)
+        t_b, seg_b = wm.transcribe(audio, batched)
+        assert t_b == t_s
+        assert [(s.start, s.end) for s in seg_b] == \
+            [(s.start, s.end) for s in seg_s]
+
+    def test_batched_with_fallback(self, tmp_path):
+        """temperature_fallback on the batched path: accepted rows come from
+        the batch; the host-side degenerate check matches the serial one."""
+        wm = self._model(tmp_path, seed=9)
+        rng = np.random.default_rng(9)
+        audio = (0.05 * rng.standard_normal(16000 * 61)).astype(np.float32)
+        serial = WhisperTranscriberConfig(
+            max_tokens_per_chunk=4, temperature_fallback=True,
+            logprob_threshold=-1e9, chunk_batch=1)
+        batched = WhisperTranscriberConfig(
+            max_tokens_per_chunk=4, temperature_fallback=True,
+            logprob_threshold=-1e9, chunk_batch=16)
+        assert wm.transcribe(audio, batched)[0] == \
+            wm.transcribe(audio, serial)[0]
