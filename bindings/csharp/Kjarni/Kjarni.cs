@@ -59,6 +59,13 @@ namespace Kjarni
         public KjarniException(string message) : base(message) { }
     }
 
+    /// <summary>Library-level metadata (cf. Go binding's Version()).</summary>
+    public static class KjarniLib
+    {
+        public static string Version =>
+            Marshal.PtrToStringUTF8(Native.kjarni_version()) ?? "";
+    }
+
     public abstract class KjarniObject : IDisposable
     {
         private protected long Handle;

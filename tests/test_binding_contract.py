@@ -314,3 +314,186 @@ def llama_dir(tmp_path_factory):
     torch.manual_seed(17)
     save_torch_model(d, LlamaForCausalLM(config).eval(), config)
     return d
+
+
+# ---------------------------------------------------------------------------
+# C-ABI header contract (VERDICT r3 item 7): without a Go/.NET toolchain the
+# next-best compile check is structural — every C# [DllImport] must match a
+# native/kjarni.h declaration in name, arity, return kind, and param kinds,
+# and every Go C.kjarni_* call site must match the header's arity. A rename
+# or signature change in kjarni.h / kjarni_ffi.cpp now breaks this in-image.
+# ---------------------------------------------------------------------------
+
+HDR = REPO / "native" / "kjarni.h"
+FFI_CPP = REPO / "native" / "kjarni_ffi.cpp"
+
+
+def header_decls():
+    """{name: (return_type, [param_types])} from native/kjarni.h."""
+    src = HDR.read_text()
+    src = re.sub(r"/\*.*?\*/", " ", src, flags=re.S)
+    src = re.sub(r"\s+", " ", src)
+    decls = {}
+    # split on ';' so consecutive declarations can't swallow each other's
+    # delimiter; anchor the match at the fragment end to skip typedefs
+    for frag in src.split(";"):
+        m = re.search(
+            r"((?:const )?(?:int|void|char|long long|long|float) ?\*?) "
+            r"?(kjarni_\w+) ?\(([^()]*)\) ?$", frag)
+        if not m:
+            continue
+        ret, name, args = m.groups()
+        args = args.strip()
+        if args in ("", "void"):
+            params = []
+        else:
+            params = [p.strip() for p in args.split(",")]
+        decls[name] = (ret.replace(" ", ""), params)
+    return decls
+
+
+def _c_param_kind(p):
+    """Collapse a C parameter declaration to a marshal kind."""
+    is_const = p.strip().startswith("const ")
+    p = p.replace("const ", "").strip()
+    p = re.sub(r"\b\w+$", "", p).strip() or p   # drop the param name
+    p = p.replace(" ", "")
+    if p.startswith("char*"):
+        # const char* = string input; bare char* = an owned pointer being
+        # handed back (kjarni_string_free) — marshals as IntPtr
+        return "string" if is_const else "ptr"
+    if p.startswith("float*"):
+        return "floatbuf"
+    if p.startswith("longlong"):
+        return "long"
+    if p.startswith("int"):
+        return "int"
+    if p.startswith("float"):
+        return "float"
+    if "callback" in p:
+        return "callback"
+    if p.endswith("*"):
+        return "ptr"
+    return p
+
+
+def _c_ret_kind(r):
+    r = r.replace("const", "").replace(" ", "")
+    if r.endswith("char*"):
+        return "ptr"            # C# must marshal returned strings as IntPtr
+    if r == "longlong":
+        return "long"
+    return r                    # int / void / float
+
+
+_CS_PARAM_OK = {
+    "string": {"string"},
+    "floatbuf": {"float[]", "IntPtr"},
+    "long": {"long"},
+    "int": {"int"},
+    "float": {"float"},
+    "callback": {"TokenCallback", "IntPtr"},
+    "ptr": {"IntPtr"},
+}
+_CS_RET_OK = {"ptr": {"IntPtr"}, "long": {"long"}, "int": {"int"},
+              "void": {"void"}, "float": {"float"}}
+
+
+def cs_dllimports():
+    """{name: (return_type, [param_types])} from Kjarni.cs."""
+    src = CS.read_text()
+    out = {}
+    for m in re.finditer(
+            r"\[DllImport\(Lib\)\]\s*internal static extern\s+([\w\[\]\.]+)"
+            r"\s+(kjarni_\w+)\s*\(([^)]*)\);", src):
+        ret, name, args = m.groups()
+        params = []
+        for p in args.split(","):
+            p = p.strip()
+            if p:
+                params.append(" ".join(p.split()[:-1]))  # drop the param name
+        out[name] = (ret, params)
+    return out
+
+
+class TestHeaderContract:
+    def test_header_parses(self):
+        d = header_decls()
+        assert "kjarni_new" in d and "kjarni_call" in d
+        assert d["kjarni_new"][0] == "longlong"
+        assert len(d["kjarni_new"][1]) == 2
+        assert _c_ret_kind(d["kjarni_call"][0]) == "ptr"
+
+    def test_cs_dllimports_match_header(self):
+        hdr = header_decls()
+        problems = []
+        for name, (ret, params) in cs_dllimports().items():
+            if name not in hdr:
+                problems.append(f"{name}: not declared in kjarni.h")
+                continue
+            c_ret, c_params = hdr[name]
+            if len(params) != len(c_params):
+                problems.append(
+                    f"{name}: arity {len(params)} != header "
+                    f"{len(c_params)}")
+                continue
+            rk = _c_ret_kind(c_ret)
+            if ret not in _CS_RET_OK.get(rk, {ret}):
+                problems.append(f"{name}: C# returns {ret}, header {c_ret}")
+            for i, (csp, cp) in enumerate(zip(params, c_params)):
+                kind = _c_param_kind(cp)
+                if csp not in _CS_PARAM_OK.get(kind, {csp}):
+                    problems.append(
+                        f"{name} arg {i}: C# {csp} vs header {cp!r}")
+        assert not problems, "\n".join(problems)
+
+    def test_cs_imports_core_surface(self):
+        core = {"kjarni_init", "kjarni_version", "kjarni_last_error",
+                "kjarni_new", "kjarni_free", "kjarni_call",
+                "kjarni_string_free", "kjarni_stream_start",
+                "kjarni_stream_start_cancellable", "kjarni_stream_next",
+                "kjarni_stream_cancel", "kjarni_cancel_token_new",
+                "kjarni_cancel_token_cancel",
+                "kjarni_cancel_token_is_cancelled", "kjarni_cancel_token_free"}
+        missing = core - set(cs_dllimports())
+        assert not missing, f"Kjarni.cs lost DllImports: {sorted(missing)}"
+
+    def test_go_c_calls_match_header(self):
+        """Every C.kjarni_* call site in the Go binding exists in the header
+        with the same arity (cgo would enforce this at compile time)."""
+        hdr = header_decls()
+        src = GO.read_text()
+        problems = []
+        for m in re.finditer(r"C\.(kjarni_\w+)\(", src):
+            name = m.group(1)
+            if name not in hdr:
+                problems.append(f"{name}: called from Go, not in kjarni.h")
+                continue
+            # count top-level commas of this call site
+            i = m.end()
+            depth, args, has_arg = 1, 0, False
+            while i < len(src) and depth:
+                c = src[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 1:
+                    args += 1
+                elif not c.isspace() and depth >= 1:
+                    has_arg = True
+                i += 1
+            n = args + 1 if has_arg else 0
+            if n != len(hdr[name][1]):
+                problems.append(f"{name}: Go passes {n} args, header has "
+                                f"{len(hdr[name][1])}")
+        assert not problems, "\n".join(problems)
+
+    def test_impl_defines_every_header_function(self):
+        """kjarni_ffi.cpp must define each declared symbol (a deleted or
+        renamed impl otherwise only fails at link time, which this image
+        exercises rarely)."""
+        src = FFI_CPP.read_text()
+        missing = [n for n in header_decls()
+                   if not re.search(rf"\b{n}\s*\(", src)]
+        assert not missing, f"kjarni_ffi.cpp missing: {missing}"
