@@ -52,19 +52,65 @@ int kjarni_stream_with_callback(long long handle, const char* method,
                                 kjarni_token_callback callback,
                                 void* user_data, long long cancel_token);
 
-/* typed conveniences */
+/* typed per-task API (cf. kjarni-ffi's per-task files: embedder.rs,
+ * chat.rs, ...). Every function is a typed veneer over the same JSON
+ * bridge: char* results are malloc'd JSON documents (the schema of the
+ * matching kjarni_call method) — free with kjarni_string_free. */
 long long kjarni_embedder_new(const char* model);
 long long kjarni_classifier_new(const char* model);
 long long kjarni_reranker_new(const char* model);
 long long kjarni_chat_new(const char* model);
+long long kjarni_generator_new(const char* model);
+long long kjarni_summarizer_new(const char* model);
+long long kjarni_translator_new(const char* model);
+long long kjarni_transcriber_new(const char* model);
 long long kjarni_indexer_new(const char* model);
 long long kjarni_searcher_new(const char* model);
 
+/* embedder */
 int kjarni_embedder_embed(long long h, const char* text, float* out,
                           int out_capacity);
+/* row-major [n_texts x dim] into out (truncated at out_capacity floats);
+ * returns the embedding dimension, or -1 on error */
+int kjarni_embedder_embed_batch(long long h, const char** texts, int n_texts,
+                                float* out, int out_capacity);
 float kjarni_embedder_similarity(long long h, const char* a, const char* b);
+int kjarni_embedder_dim(long long h);
+
+/* classifier */
 char* kjarni_classifier_classify(long long h, const char* text);
+char* kjarni_classifier_classify_batch(long long h, const char** texts,
+                                       int n_texts);
+char* kjarni_classifier_labels(long long h);
+
+/* reranker */
+float kjarni_reranker_score(long long h, const char* query,
+                            const char* document);
+char* kjarni_reranker_rerank(long long h, const char* query,
+                             const char** documents, int n_documents);
+
+/* chat */
 char* kjarni_chat_send(long long h, const char* message);
+void kjarni_chat_clear_history(long long h, int keep_system);
+char* kjarni_chat_history(long long h);
+
+/* generation / seq2seq (max_new_tokens <= 0 = model default) */
+char* kjarni_generator_generate(long long h, const char* prompt,
+                                int max_new_tokens);
+char* kjarni_summarizer_summarize(long long h, const char* text);
+char* kjarni_translator_translate(long long h, const char* text,
+                                  const char* from_lang, const char* to_lang);
+
+/* audio */
+char* kjarni_transcriber_transcribe_file(long long h, const char* path);
+
+/* rag: index + search (mode in {"vector","keyword","hybrid"}) */
+char* kjarni_indexer_create(long long h, const char* index_path,
+                            const char** paths, int n_paths);
+char* kjarni_indexer_add(long long h, const char* index_path,
+                         const char** paths, int n_paths);
+char* kjarni_searcher_search(long long h, const char* index_path,
+                             const char* query, const char* mode, int top_k);
 
 #ifdef __cplusplus
 }

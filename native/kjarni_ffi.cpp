@@ -12,6 +12,7 @@
 
 #include <Python.h>
 
+#include <cstdarg>
 #include <cstdlib>
 #include <cstring>
 #include <mutex>
@@ -362,11 +363,106 @@ KJARNI_API long long kjarni_reranker_new(const char* model) {
 KJARNI_API long long kjarni_chat_new(const char* model) {
   return typed_new("chat", model);
 }
+KJARNI_API long long kjarni_generator_new(const char* model) {
+  return typed_new("generator", model);
+}
+KJARNI_API long long kjarni_summarizer_new(const char* model) {
+  return typed_new("summarizer", model);
+}
+KJARNI_API long long kjarni_translator_new(const char* model) {
+  return typed_new("translator", model);
+}
+KJARNI_API long long kjarni_transcriber_new(const char* model) {
+  return typed_new("transcriber", model);
+}
 KJARNI_API long long kjarni_indexer_new(const char* model) {
   return typed_new("indexer", model);
 }
 KJARNI_API long long kjarni_searcher_new(const char* model) {
   return typed_new("searcher", model);
+}
+
+// Build the payload with Py_VaBuildValue and route through kjarni_call —
+// every typed wrapper shares this one JSON veneer.
+static char* typed_call(long long h, const char* method, const char* fmt,
+                        ...) {
+  std::string buf;
+  {
+    GilGuard gil;
+    va_list va;
+    va_start(va, fmt);
+    PyObject* payload = Py_VaBuildValue(fmt, va);
+    va_end(va);
+    buf = json_dumps_payload(payload);
+  }
+  if (buf.empty()) return nullptr;
+  return kjarni_call(h, method, buf.c_str());
+}
+
+// const char** -> new Python list (null on failure, error set).
+static PyObject* strv_to_list(const char** items, int n) {
+  PyObject* lst = PyList_New(n > 0 ? n : 0);
+  if (!lst) {
+    set_error_from_python();
+    return nullptr;
+  }
+  for (int i = 0; i < n; ++i) {
+    PyObject* s = PyUnicode_FromString(items && items[i] ? items[i] : "");
+    if (!s) {
+      Py_DECREF(lst);
+      set_error_from_python();
+      return nullptr;
+    }
+    PyList_SET_ITEM(lst, i, s);
+  }
+  return lst;
+}
+
+static char* typed_call_with_list(long long h, const char* method,
+                                  const char* key, const char** items, int n,
+                                  const char* extra_key,
+                                  const char* extra_val) {
+  std::string buf;
+  {
+    GilGuard gil;
+    PyObject* lst = strv_to_list(items, n);
+    if (!lst) return nullptr;
+    PyObject* payload =
+        extra_key ? Py_BuildValue("{s:N,s:s}", key, lst, extra_key, extra_val)
+                  : Py_BuildValue("{s:N}", key, lst);  // N steals lst
+    buf = json_dumps_payload(payload);
+  }
+  if (buf.empty()) return nullptr;
+  return kjarni_call(h, method, buf.c_str());
+}
+
+// json.loads(json)[key] as double; `fallback` on any failure.
+static double parse_number_field(const char* json, const char* key,
+                                 double fallback) {
+  if (!json) return fallback;
+  GilGuard gil;
+  PyObject* json_mod = PyImport_ImportModule("json");
+  if (!json_mod) {
+    set_error_from_python();
+    return fallback;
+  }
+  PyObject* obj = PyObject_CallMethod(json_mod, "loads", "s", json);
+  Py_DECREF(json_mod);
+  if (!obj) {
+    set_error_from_python();
+    return fallback;
+  }
+  double out = fallback;
+  PyObject* v = PyDict_GetItemString(obj, key);  // borrowed
+  if (v) {
+    out = PyFloat_AsDouble(v);
+    if (PyErr_Occurred()) {
+      PyErr_Clear();
+      out = fallback;
+    }
+  }
+  Py_DECREF(obj);
+  return out;
 }
 
 // Embed into caller-provided buffer; returns the dimension or -1.
@@ -471,4 +567,162 @@ KJARNI_API char* kjarni_chat_send(long long h, const char* message) {
   std::string json_args = s ? s : "{}";
   Py_DECREF(args_str);
   return kjarni_call(h, "send", json_args.c_str());
+}
+
+// ---------------------------------------------------------------------------
+// remaining typed per-task surface (cf. kjarni-ffi embedder.rs:57-267,
+// chat.rs:178-754 breadth): thin typed veneers over the JSON bridge so a C
+// host keeps compile-time signatures while the ABI stays one code path.
+// ---------------------------------------------------------------------------
+
+KJARNI_API int kjarni_embedder_dim(long long h) {
+  char* r = kjarni_call(h, "dim", "{}");
+  if (!r) return -1;
+  int dim = (int)parse_number_field(r, "dim", -1.0);
+  kjarni_string_free(r);
+  return dim;
+}
+
+KJARNI_API int kjarni_embedder_embed_batch(long long h, const char** texts,
+                                           int n_texts, float* out,
+                                           int out_capacity) {
+  if (!g_initialized) {
+    set_error("kjarni_init() has not been called");
+    return -1;
+  }
+  std::string buf;
+  {
+    GilGuard gil;
+    PyObject* lst = strv_to_list(texts, n_texts);
+    if (!lst) return -1;
+    buf = json_dumps_payload(Py_BuildValue("{s:N}", "texts", lst));
+  }
+  if (buf.empty()) return -1;
+  char* r = kjarni_call(h, "embed_batch", buf.c_str());
+  if (!r) return -1;
+  int dim = -1;
+  {
+    GilGuard gil;
+    PyObject* json_mod = PyImport_ImportModule("json");
+    PyObject* obj =
+        json_mod ? PyObject_CallMethod(json_mod, "loads", "s", r) : nullptr;
+    Py_XDECREF(json_mod);
+    if (!obj) {
+      set_error_from_python();
+      kjarni_string_free(r);
+      return -1;
+    }
+    PyObject* rows = PyDict_GetItemString(obj, "embeddings");  // borrowed
+    if (rows && PyList_Check(rows)) {
+      Py_ssize_t nrows = PyList_Size(rows);
+      Py_ssize_t written = 0;
+      dim = 0;
+      for (Py_ssize_t i = 0; i < nrows; ++i) {
+        PyObject* row = PyList_GetItem(rows, i);  // borrowed
+        if (!row || !PyList_Check(row)) continue;
+        Py_ssize_t d = PyList_Size(row);
+        dim = (int)d;
+        if (!out) continue;
+        for (Py_ssize_t j = 0; j < d && written < out_capacity; ++j) {
+          out[written++] =
+              (float)PyFloat_AsDouble(PyList_GetItem(row, j));
+        }
+      }
+    } else {
+      set_error("malformed embed_batch result");
+    }
+    Py_DECREF(obj);
+  }
+  kjarni_string_free(r);
+  return dim;
+}
+
+KJARNI_API char* kjarni_classifier_classify_batch(long long h,
+                                                  const char** texts,
+                                                  int n_texts) {
+  return typed_call_with_list(h, "classify_batch", "texts", texts, n_texts,
+                              nullptr, nullptr);
+}
+
+KJARNI_API char* kjarni_classifier_labels(long long h) {
+  return kjarni_call(h, "labels", "{}");
+}
+
+KJARNI_API float kjarni_reranker_score(long long h, const char* query,
+                                       const char* document) {
+  char* r = typed_call(h, "score", "{s:s,s:s}", "query", query, "document",
+                       document);
+  if (!r) return -1e30f;
+  float v = (float)parse_number_field(r, "score", -1e30);
+  kjarni_string_free(r);
+  return v;
+}
+
+KJARNI_API char* kjarni_reranker_rerank(long long h, const char* query,
+                                        const char** documents,
+                                        int n_documents) {
+  return typed_call_with_list(h, "rerank", "documents", documents,
+                              n_documents, "query", query);
+}
+
+KJARNI_API void kjarni_chat_clear_history(long long h, int keep_system) {
+  std::string buf;
+  {
+    GilGuard gil;
+    buf = json_dumps_payload(Py_BuildValue(
+        "{s:O}", "keep_system", keep_system ? Py_True : Py_False));
+  }
+  if (buf.empty()) return;
+  char* r = kjarni_call(h, "clear_history", buf.c_str());
+  kjarni_string_free(r);
+}
+
+KJARNI_API char* kjarni_chat_history(long long h) {
+  return kjarni_call(h, "history", "{}");
+}
+
+KJARNI_API char* kjarni_generator_generate(long long h, const char* prompt,
+                                           int max_new_tokens) {
+  if (max_new_tokens > 0) {
+    return typed_call(h, "generate", "{s:s,s:i}", "prompt", prompt,
+                      "max_new_tokens", max_new_tokens);
+  }
+  return typed_call(h, "generate", "{s:s}", "prompt", prompt);
+}
+
+KJARNI_API char* kjarni_summarizer_summarize(long long h, const char* text) {
+  return typed_call(h, "summarize", "{s:s}", "text", text);
+}
+
+KJARNI_API char* kjarni_translator_translate(long long h, const char* text,
+                                             const char* from_lang,
+                                             const char* to_lang) {
+  return typed_call(h, "translate", "{s:s,s:s,s:s}", "text", text, "from",
+                    from_lang, "to", to_lang);
+}
+
+KJARNI_API char* kjarni_transcriber_transcribe_file(long long h,
+                                                    const char* path) {
+  return typed_call(h, "transcribe_file", "{s:s}", "path", path);
+}
+
+KJARNI_API char* kjarni_indexer_create(long long h, const char* index_path,
+                                       const char** paths, int n_paths) {
+  return typed_call_with_list(h, "create", "paths", paths, n_paths,
+                              "index_path", index_path);
+}
+
+KJARNI_API char* kjarni_indexer_add(long long h, const char* index_path,
+                                    const char** paths, int n_paths) {
+  return typed_call_with_list(h, "add", "paths", paths, n_paths,
+                              "index_path", index_path);
+}
+
+KJARNI_API char* kjarni_searcher_search(long long h, const char* index_path,
+                                        const char* query, const char* mode,
+                                        int top_k) {
+  return typed_call(h, "search", "{s:s,s:s,s:s,s:i}", "index_path",
+                    index_path, "query", query, "mode",
+                    mode && *mode ? mode : "hybrid", "top_k",
+                    top_k > 0 ? top_k : 10);
 }
