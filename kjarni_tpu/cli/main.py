@@ -340,12 +340,18 @@ def cmd_export_browser(args) -> int:
     manifest = export_browser_model(model_dir, args.out)
     info = {"out": args.out, "tensors": len(manifest["tensors"]),
             "weights_bytes": manifest["weights_bytes"]}
+    if getattr(args, "selftest", False):
+        from ..export.browser import selftest_bundle
+        info["selftest"] = selftest_bundle(args.out)
     if args.format == "json":
         print(json.dumps(info))
     else:
         print(f"exported {info['tensors']} tensors "
               f"({info['weights_bytes'] / 1e6:.1f} MB) to {args.out}\n"
               f"serve web/ + {args.out} statically and use web/kjarni.js")
+        if "selftest" in info:
+            print(f"selftest ok (web/kjarni.js executed in jsvm): "
+                  f"{info['selftest']}")
     return 0
 
 
@@ -524,6 +530,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "(manifest.json + weights.bin for web/kjarni.js)")
     sp.add_argument("model", help="registry name or local model dir")
     sp.add_argument("-o", "--out", required=True, help="output directory")
+    sp.add_argument("--selftest", action="store_true",
+                    help="after exporting, execute web/kjarni.js against "
+                         "the bundle via the in-tree jsvm interpreter")
     sp.add_argument("--format", choices=["text", "json"], default="text")
     sp.add_argument("--quiet", "-q", action="store_true")
     sp.add_argument("--verbose", "-v", action="count", default=0)

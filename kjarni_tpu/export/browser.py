@@ -130,6 +130,62 @@ def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
     return _write_bundle(out_dir, model_dir, "encoder", config, params)
 
 
+def selftest_bundle(out_dir: Path) -> dict:
+    """Execute web/kjarni.js against an exported bundle via the in-tree jsvm.
+
+    This runs the ACTUAL shipped JavaScript (not a mirror): the jsvm
+    interpreter (kjarni_tpu/export/jsvm) loads web/kjarni.js, constructs
+    KjarniModel/KjarniGPT from the bundle's real manifest + weights.bin +
+    tokenizer.json, and drives an embed (encoders) or a short greedy
+    generation (gpt2). Counterpart of the reference's wasm-bindgen tests
+    (crates/kjarni-wasm/src/lib.rs:42) for an image with no JS runtime.
+    Returns a summary dict; raises on any failure.
+    """
+    import time
+
+    import numpy as np
+
+    from .jsvm import load_module
+    from .jsvm.interp import ArrayBuffer
+
+    out_dir = Path(out_dir)
+    js_path = Path(__file__).resolve().parents[2] / "web" / "kjarni.js"
+    if not js_path.exists():
+        raise FileNotFoundError(f"web/kjarni.js not found at {js_path}")
+
+    manifest = json.loads((out_dir / "manifest.json").read_text())
+    weights = ArrayBuffer(bytearray((out_dir / "weights.bin").read_bytes()))
+    tok = json.loads((out_dir / "tokenizer.json").read_text())
+
+    interp, exports = load_module(js_path)
+    t0 = time.time()
+    if manifest["kind"] == "gpt2":
+        gpt = interp.call_method(exports.props["KjarniGPT"], "fromBuffers",
+                                 manifest, weights, tok, raw=True)
+        text = interp.call_method(gpt, "generate", "the", 4)
+        if not isinstance(text, str):
+            raise AssertionError("KjarniGPT.generate did not return a string")
+        return {"kind": "gpt2", "engine": "jsvm", "generated": text,
+                "seconds": round(time.time() - t0, 2)}
+
+    model = interp.call_method(exports.props["KjarniModel"], "fromBuffers",
+                               manifest, weights, tok, raw=True)
+    vec = np.asarray(interp.call_method(model, "embed",
+                                        "kjarni browser selftest"))
+    h = manifest["config"]["hidden_size"]
+    if vec.shape != (h,):
+        raise AssertionError(f"embed returned shape {vec.shape}, want ({h},)")
+    if not np.all(np.isfinite(vec)):
+        raise AssertionError("embed returned non-finite values")
+    norm = float(np.linalg.norm(vec))
+    if abs(norm - 1.0) > 1e-3:
+        raise AssertionError(f"embed is not L2-normalized (norm={norm})")
+    sim = interp.call_method(model, "similarity", "a cat", "a dog")
+    return {"kind": "encoder", "engine": "jsvm", "dim": h,
+            "norm": round(norm, 6), "similarity": round(float(sim), 6),
+            "seconds": round(time.time() - t0, 2)}
+
+
 def load_browser_bundle(out_dir: Path) -> tuple[dict, dict]:
     """Read a bundle back into {name: array} (round-trip tests / JS oracle)."""
     out_dir = Path(out_dir)

@@ -478,6 +478,12 @@ class KjarniGPT {
     this.tokenizer = model.type === "BPE"
       ? new KjarniBpeTokenizer(tokenizerJson)
       : new KjarniTokenizer(tokenizerJson);
+    if (this.tokenizer instanceof KjarniTokenizer) {
+      // Decoder prompts are continued, not classified: never wrap them in
+      // [CLS]/[SEP] (a [SEP]==eos tail would end generation at step 0).
+      this.tokenizer.clsId = undefined;
+      this.tokenizer.sepId = undefined;
+    }
   }
 
   static async load(baseUrl) {
