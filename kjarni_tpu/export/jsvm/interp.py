@@ -99,11 +99,12 @@ class JSFunction:
 
 
 class NativeFunction:
-    __slots__ = ("name", "fn")
+    __slots__ = ("name", "fn", "props")
 
-    def __init__(self, name, fn):
+    def __init__(self, name, fn, props=None):
         self.name = name
         self.fn = fn  # fn(interp, this, args) -> value
+        self.props = props  # static members (e.g. Array.isArray), or None
 
     def __repr__(self):
         return f"[native {self.name}]"
@@ -628,13 +629,18 @@ class Interpreter:
                 fn.env, _NO_THIS if fn.is_arrow else this)
             self._bind_params(fn.params, args, env)
             if fn.is_expr_body:
-                return self.eval(fn.body, env)
-            try:
-                for st in fn.body[1]:
-                    self.exec_stmt(st, env)
-            except _Return as r:
-                return r.value
-            return UNDEFINED
+                result = self.eval(fn.body, env)
+            else:
+                result = UNDEFINED
+                try:
+                    for st in fn.body[1]:
+                        self.exec_stmt(st, env)
+                except _Return as r:
+                    result = r.value
+            if fn.is_async and not isinstance(result, JSPromiseValue):
+                # an async function's caller always receives a promise
+                return JSPromiseValue(result)
+            return result
         if isinstance(fn, JSClass):
             raise JSError(_make_error(
                 "TypeError", f"class {fn.name} must be called with new"))
@@ -664,6 +670,8 @@ class Interpreter:
     def call_method(self, obj, name, *host_args, raw=False):
         m = self.get_member(obj, name)
         r = self.call(m, obj, [host_to_js(a) for a in host_args])
+        while isinstance(r, JSPromiseValue):  # host boundary awaits
+            r = r.value
         return r if raw else js_to_host(r)
 
     def new_instance(self, cls, *host_args):
@@ -927,7 +935,9 @@ class Interpreter:
 
     def _ex_await(self, node, env):
         v = self.eval(node[1], env)
-        return v.value if isinstance(v, JSPromiseValue) else v
+        while isinstance(v, JSPromiseValue):
+            v = v.value
+        return v
 
     def _ex_unary(self, node, env):
         op = node[1]
@@ -1122,8 +1132,11 @@ class Interpreter:
         if isinstance(obj, JSPromiseValue):
             if name == "then":
                 def then(interp, this, args):
-                    return JSPromiseValue(
-                        interp.call(args[0], UNDEFINED, [obj.value]))
+                    r = interp.call(args[0], UNDEFINED, [obj.value])
+                    # .then flattens: a callback returning a promise must
+                    # not produce a promise-of-promise (Promise/A+ 2.3.2)
+                    return r if isinstance(r, JSPromiseValue) \
+                        else JSPromiseValue(r)
                 return NativeFunction("then", then)
             if name == "catch":
                 return NativeFunction("catch", lambda i, t, a: obj)
@@ -1134,6 +1147,9 @@ class Interpreter:
                 return BoundMethod(NativeFunction(name, m), obj)
             return UNDEFINED
         if isinstance(obj, (JSFunction, NativeFunction)):
+            props = getattr(obj, "props", None)  # Array.isArray etc.
+            if props is not None and name in props:
+                return props[name]
             if name == "name":
                 return obj.name or ""
             if name == "call":
@@ -1300,14 +1316,20 @@ class Interpreter:
         })
         g.define("Object", obj_ns)
 
-        arr_ns = JSObject({
+        def array_ctor(interp, this, args):
+            # Array(n) / new Array(n) -> n holes; otherwise the elements
+            if len(args) == 1 and isinstance(args[0], (int, float)) \
+                    and not isinstance(args[0], bool):
+                return JSArray([UNDEFINED] * int(args[0]))
+            return JSArray(list(args))
+
+        g.define("Array", NativeFunction("Array", array_ctor, props={
             "isArray": NativeFunction(
                 "isArray", lambda i, t, a: isinstance(a[0], JSArray)
                 if a else False),
             "from": NativeFunction("from", _array_from),
             "of": NativeFunction("of", lambda i, t, a: JSArray(list(a))),
-        })
-        g.define("Array", arr_ns)
+        }))
 
         str_ns = JSObject({
             "fromCharCode": NativeFunction(
@@ -1493,6 +1515,17 @@ def js_binop(op, a, b):
                 if c is b:
                     return True
                 c = c.parent
+            return False
+        if isinstance(b, NativeFunction):  # builtin constructors
+            n = b.name
+            if n == "Array":
+                return isinstance(a, JSArray)
+            if n in _TA_SPECS:
+                return isinstance(a, TypedArray) and a.name == n
+            if n == "ArrayBuffer":
+                return isinstance(a, ArrayBuffer)
+            if n == "RegExp":
+                return isinstance(a, JSRegExp)
         return False
     if op == "in":
         if isinstance(b, JSObject):
@@ -1560,8 +1593,11 @@ def _promise_all(interp, this, args):
     arr = args[0]
     if not isinstance(arr, JSArray):
         raise JSError(_make_error("TypeError", "Promise.all expects array"))
-    out = [v.value if isinstance(v, JSPromiseValue) else v
-           for v in arr.items]
+    out = []
+    for v in arr.items:
+        while isinstance(v, JSPromiseValue):
+            v = v.value
+        out.append(v)
     return JSPromiseValue(JSArray(out))
 
 

@@ -118,6 +118,31 @@ class TestEncoderExecution:
         assert hits[0]["score"] == pytest.approx(1.0, abs=1e-3)
 
 
+class TestAsyncLoadPath:
+    """`await KjarniModel.load(url)` — the path a real browser takes
+    (fetch + .then + Promise.all), served by jsvm's synchronous fetch shim."""
+
+    def test_model_load_via_fetch(self, encoder_bundle):
+        from kjarni_tpu.export.jsvm import load_module
+
+        _, out = encoder_bundle
+        interp, exports = load_module(JS, fetch_base=out.parent)
+        model = interp.call_method(exports.props["KjarniModel"], "load",
+                                   f"{out.name}/", raw=True)
+        v = np.asarray(interp.call_method(model, "embed", "fetched model"))
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
+
+    def test_gpt_load_via_fetch(self, gpt_bundle):
+        from kjarni_tpu.export.jsvm import load_module
+
+        _, out = gpt_bundle
+        interp, exports = load_module(JS, fetch_base=out.parent)
+        gpt = interp.call_method(exports.props["KjarniGPT"], "load",
+                                 f"{out.name}/", raw=True)
+        text = interp.call_method(gpt, "generate", "hello", 3)
+        assert isinstance(text, str)
+
+
 class TestGptExecution:
     def test_greedy_matches_production(self, gpt_bundle):
         from kjarni_tpu.generate.sampling import GenerationConfig
