@@ -40,6 +40,27 @@ TIMESTAMP_BEGIN = 50364
 CHUNK_LENGTH_SECS = 30.0
 
 
+def audio_pcm16(audio: np.ndarray) -> np.ndarray:
+    """Quantize f32 audio to int16 PCM for the host->device transfer.
+
+    Halves the upload bytes; the link (tunnel/PCIe), not the encoder, bounds
+    long-audio throughput. Quantization error <=3.1e-5 — below the log-mel
+    floor and most sources are 16-bit PCM to begin with. Both the serial and
+    batched paths share this encoding, so their per-lane equality is exact.
+    """
+    if audio.dtype == np.int16:
+        return audio
+    return np.clip(np.round(audio * 32768.0), -32768.0, 32767.0) \
+        .astype(np.int16)
+
+
+def _dequant_pcm(audio: jnp.ndarray) -> jnp.ndarray:
+    """In-jit inverse of audio_pcm16 (trace-time no-op for f32 input)."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) * (1.0 / 32768.0)
+    return audio
+
+
 class WhisperTask(str, enum.Enum):
     TRANSCRIBE = "transcribe"
     TRANSLATE = "translate"
@@ -140,6 +161,7 @@ class WhisperModel:
         def _encode_chunk(params, audio):
             # mel stays f32 for numerics, then enters the encoder in the
             # param dtype (bf16 on TPU)
+            audio = _dequant_pcm(audio)
             mel = log_mel_spectrogram(audio, self.mel_config)
             mel = mel.astype(params["conv1_w"].dtype)
             enc = kwhisper.encode(params, cfg, mel[None])
@@ -216,9 +238,20 @@ class WhisperModel:
 
         self._decode_loop = _decode_loop
 
-        @jax.jit
-        def _encode_chunks(params, audios):
-            """Batched mel + encode + cross-KV over [n, chunk_samples]."""
+        @partial(jax.jit, static_argnames=("n_pad",))
+        def _encode_chunks(params, audios, n_pad=0):
+            """Batched mel + encode + cross-KV over [n, chunk_samples].
+
+            `n_pad` bucket-pads the wave ON DEVICE (repeating lane 0) so the
+            host->device link only carries real lanes: the link, not the
+            encoder, bounds long-audio throughput on tunnel/PCIe-attached
+            chips (measured 0.78 s of a 1.4 s 11-chunk transcribe was the
+            f32 upload of 16 padded lanes)."""
+            audios = _dequant_pcm(audios)
+            if n_pad:
+                audios = jnp.concatenate(
+                    [audios, jnp.broadcast_to(audios[:1],
+                                              (n_pad,) + audios.shape[1:])])
             mel = jax.vmap(
                 lambda a: log_mel_spectrogram(a, self.mel_config))(audios)
             mel = mel.astype(params["conv1_w"].dtype)
@@ -446,7 +479,8 @@ class WhisperModel:
             return self._transcribe_batched(chunks, config)
         results = []
         for i, chunk in enumerate(chunks):
-            cross_kv = self._encode_chunk(self.params, jnp.asarray(chunk))
+            cross_kv = self._encode_chunk(self.params,
+                                          jnp.asarray(audio_pcm16(chunk)))
             if config.language == "auto":
                 config = dataclasses.replace(
                     config, language=self.detect_language(cross_kv))
@@ -473,8 +507,10 @@ class WhisperModel:
         for ws in range(0, len(chunks), wave_size):
             wave = chunks[ws:ws + wave_size]
             nb = min(batch_bucket(len(wave)), wave_size)
-            audios = np.stack(wave + [wave[0]] * (nb - len(wave)))
-            ck, cv = self._encode_chunks(self.params, jnp.asarray(audios))
+            # upload only real lanes as int16 PCM; bucket-pad on device
+            audios = audio_pcm16(np.stack(wave))
+            ck, cv = self._encode_chunks(self.params, jnp.asarray(audios),
+                                         n_pad=nb - len(wave))
             if config.language == "auto" and prompt is None:
                 lane0 = (jax.lax.slice_in_dim(ck, 0, 1, axis=1),
                          jax.lax.slice_in_dim(cv, 0, 1, axis=1))

@@ -75,7 +75,8 @@ class Transcriber:
                 chunk_pieces.append(text)
                 return True
 
-            cross_kv = self._model._encode_chunk(self._model.params,
-                                                 jnp.asarray(chunk))
+            from ..models.whisper_transcriber import audio_pcm16
+            cross_kv = self._model._encode_chunk(
+                self._model.params, jnp.asarray(audio_pcm16(chunk)))
             self._model.decode_chunk(cross_kv, self.config, i * 30.0, cb)
             yield from chunk_pieces
