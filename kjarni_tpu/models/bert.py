@@ -365,55 +365,71 @@ def encode(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
                         jnp.arange(input_ids.shape[1]))
 
 
+def encode_packed_n(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
+                    attention_mask: jnp.ndarray,
+                    token_type_ids: Optional[jnp.ndarray] = None,
+                    n: int = 2) -> jnp.ndarray:
+    """encode() with n sequences packed per kernel row.
+
+    [B, S] rows (B divisible by n) run as [B/n, nS] with BLOCK-DIAGONAL
+    attention, per-lane positions, and per-lane relative/rotary patterns —
+    numerically the same hidden states (exact in f32), returned at
+    [B, S, H]. Fewer, fuller attention/softmax programs amortize the
+    f32-score VPU work that dominates short rows; the tax is the (nS)^2
+    score matrix vs n * S^2. Measured on v5e (scripts/encoder_pack{2,n}.py):
+    n=2 is 1.31x plain at S=64; n=4 is 2.32x plain (1.24x pack-2) at S=32
+    but 0.97x plain at S=64 — the crossover sits between.
+    """
+    B, S = input_ids.shape
+    positions = _abs_positions(cfg, input_ids, attention_mask)
+    idsn = input_ids.reshape(B // n, n * S)
+    maskn = attention_mask.reshape(B // n, n * S)
+    posn = None if positions is None else positions.reshape(B // n, n * S)
+    ttn = None if token_type_ids is None else \
+        token_type_ids.reshape(B // n, n * S)
+
+    bias = padding_bias(maskn)
+    # mask cross-lane attention
+    lane = jnp.arange(n * S) // S
+    block = jnp.where(lane[:, None] == lane[None, :], 0.0, -1e30)
+    bias = bias + block[None, None]
+    if params.get("rel_bias") is not None:
+        rb = _mpnet_position_bias(params["rel_bias"], S, cfg)  # [1, H, S, S]
+        rbn = jnp.zeros(rb.shape[:2] + (n * S, n * S), rb.dtype)
+        for i in range(n):
+            rbn = rbn.at[:, :, i * S:(i + 1) * S, i * S:(i + 1) * S].set(rb)
+        bias = bias + rbn
+    rope_pos = jnp.tile(jnp.arange(S), n)
+    hidden = _encode_core(params, cfg, idsn, posn, ttn, bias, rope_pos)
+    return hidden.reshape(B, S, cfg.hidden_size)
+
+
 def encode_packed_pairs(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
                         attention_mask: jnp.ndarray,
                         token_type_ids: Optional[jnp.ndarray] = None
                         ) -> jnp.ndarray:
-    """encode() with two sequences packed per kernel row.
-
-    [B, S] rows (B even) run as [B/2, 2S] with BLOCK-DIAGONAL attention,
-    per-half positions, and per-half relative/rotary patterns — numerically
-    the same hidden states, returned at [B, S, H]. At the MiniLM S=64 shape
-    this measures 1.31x over the row-per-sequence form on v5e
-    (scripts/encoder_pack2.py): fewer, fuller attention/softmax programs
-    amortize the f32-score VPU work that dominates short rows.
-    """
-    B, S = input_ids.shape
-    positions = _abs_positions(cfg, input_ids, attention_mask)
-    ids2 = input_ids.reshape(B // 2, 2 * S)
-    mask2 = attention_mask.reshape(B // 2, 2 * S)
-    pos2 = None if positions is None else positions.reshape(B // 2, 2 * S)
-    tt2 = None if token_type_ids is None else \
-        token_type_ids.reshape(B // 2, 2 * S)
-
-    bias = padding_bias(mask2)
-    # mask cross-pair attention
-    half = jnp.arange(2 * S) >= S
-    block = jnp.where(half[:, None] == half[None, :], 0.0, -1e30)
-    bias = bias + block[None, None]
-    if params.get("rel_bias") is not None:
-        rb = _mpnet_position_bias(params["rel_bias"], S, cfg)  # [1, H, S, S]
-        rb2 = jnp.zeros(rb.shape[:2] + (2 * S, 2 * S), rb.dtype)
-        rb2 = rb2.at[:, :, :S, :S].set(rb).at[:, :, S:, S:].set(rb)
-        bias = bias + rb2
-    rope_pos = jnp.concatenate([jnp.arange(S), jnp.arange(S)])
-    hidden2 = _encode_core(params, cfg, ids2, pos2, tt2, bias, rope_pos)
-    return hidden2.reshape(B, S, cfg.hidden_size)
+    """Two sequences per kernel row (the round-3 form of encode_packed_n)."""
+    return encode_packed_n(params, cfg, input_ids, attention_mask,
+                           token_type_ids, n=2)
 
 
 def encode_auto(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
                 attention_mask: jnp.ndarray,
                 token_type_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """encode() with automatic pair-packing for short rows.
+    """encode() with automatic packing for short rows.
 
-    Shapes are static under jit, so this is a trace-time branch: even-sized
-    batches of rows <= 64 tokens take the packed kernel (measured 1.31x on
-    v5e at the MiniLM embedding shape), everything else the plain path.
+    Shapes are static under jit, so this is a trace-time branch (measured
+    crossovers on v5e, scripts/encoder_packn.py): batches of rows <= 32
+    tokens pack 4 per row when divisible (2.32x plain), rows <= 64 pack 2
+    (1.31x), everything else takes the plain path.
     """
     B, S = input_ids.shape
+    if S <= 32 and B >= 4 and B % 4 == 0:
+        return encode_packed_n(params, cfg, input_ids, attention_mask,
+                               token_type_ids, n=4)
     if S <= 64 and B >= 2 and B % 2 == 0:
-        return encode_packed_pairs(params, cfg, input_ids, attention_mask,
-                                   token_type_ids)
+        return encode_packed_n(params, cfg, input_ids, attention_mask,
+                               token_type_ids, n=2)
     return encode(params, cfg, input_ids, attention_mask, token_type_ids)
 
 
