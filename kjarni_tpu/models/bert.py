@@ -413,24 +413,51 @@ def encode_packed_pairs(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
                            token_type_ids, n=2)
 
 
+def _pack_plan(B: int, S: int) -> tuple[int, int]:
+    """Trace-time packing choice for encode_auto: (n, pad_rows).
+
+    Measured v5e gains vs the plain path (scripts/encoder_pack{2,n}.py):
+    at S<=32 pack-4 is 2.32x and pack-2 1.87x; at 32<S<=64 pack-2 is 1.31x
+    (pack-4 measured 0.97x there — excluded). Ragged batches pad up to a
+    full group with inert rows when the gain still covers the dummy
+    compute: effective speedup = gain * B / (B + pad); the plan with the
+    best effective speedup wins (plain = 1.0).
+    """
+    cands = [(1, 0, 1.0)]
+    if S <= 64 and B >= 2:
+        cands.append((2, (-B) % 2, 1.87 if S <= 32 else 1.31))
+        if S <= 32:
+            cands.append((4, (-B) % 4, 2.32))
+    n, pad, _ = max(cands, key=lambda c: c[2] * B / (B + c[1]))
+    return n, pad
+
+
 def encode_auto(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,
                 attention_mask: jnp.ndarray,
                 token_type_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """encode() with automatic packing for short rows.
 
-    Shapes are static under jit, so this is a trace-time branch (measured
-    crossovers on v5e, scripts/encoder_packn.py): batches of rows <= 32
-    tokens pack 4 per row when divisible (2.32x plain), rows <= 64 pack 2
-    (1.31x), everything else takes the plain path.
+    Shapes are static under jit, so this is a trace-time branch on the
+    measured _pack_plan crossovers. Batches that don't divide the pack
+    width are padded with inert rows (pad ids, zero mask — their uniform
+    self-attention stays inside their own lane) and sliced back, so ragged
+    library-path batches pack too, not only the pow2-bucketed product path.
     """
     B, S = input_ids.shape
-    if S <= 32 and B >= 4 and B % 4 == 0:
-        return encode_packed_n(params, cfg, input_ids, attention_mask,
-                               token_type_ids, n=4)
-    if S <= 64 and B >= 2 and B % 2 == 0:
-        return encode_packed_n(params, cfg, input_ids, attention_mask,
-                               token_type_ids, n=2)
-    return encode(params, cfg, input_ids, attention_mask, token_type_ids)
+    n, pad = _pack_plan(B, S)
+    if n == 1:
+        return encode(params, cfg, input_ids, attention_mask, token_type_ids)
+    if pad:
+        input_ids = jnp.concatenate(
+            [input_ids, jnp.full((pad, S), cfg.pad_token_id, input_ids.dtype)])
+        attention_mask = jnp.concatenate(
+            [attention_mask, jnp.zeros((pad, S), attention_mask.dtype)])
+        if token_type_ids is not None:
+            token_type_ids = jnp.concatenate(
+                [token_type_ids, jnp.zeros((pad, S), token_type_ids.dtype)])
+    out = encode_packed_n(params, cfg, input_ids, attention_mask,
+                          token_type_ids, n=n)
+    return out[:B] if pad else out
 
 
 def _encode_core(params: dict, cfg: BertConfig, input_ids: jnp.ndarray,

@@ -87,7 +87,9 @@ class TestAutoRouting:
         (8, 16),   # pack-4 region
         (8, 48),   # pack-2 region
         (6, 16),   # divisible by 2 not 4 -> pack-2
-        (5, 16),   # odd batch -> plain
+        (5, 16),   # odd batch -> padded pack (sliced back)
+        (7, 16),   # 3-remainder batch -> padded pack-4
+        (3, 48),   # odd batch in the pack-2 region
         (4, 100),  # long rows -> plain
     ])
     def test_auto_equals_plain(self, bert, B, S):
@@ -98,6 +100,20 @@ class TestAutoRouting:
         auto = kbert.encode_auto(params, cfg, ids, mask)
         np.testing.assert_allclose(np.asarray(plain), np.asarray(auto),
                                    atol=ATOL, rtol=0)
+
+    def test_pack_plan_crossovers(self):
+        """The plan maximizes measured-gain * B/(B+pad); pin the decisions
+        the constants imply so a constant edit that flips one is visible."""
+        assert kbert._pack_plan(8, 16) == (4, 0)
+        assert kbert._pack_plan(6, 16) == (2, 0)   # pack-4 pad-2 eff 1.74 < 1.87
+        assert kbert._pack_plan(5, 16) == (2, 1)   # pack-2 pad-1 eff 1.56 wins
+        assert kbert._pack_plan(7, 16) == (4, 1)   # pack-4 pad-1 eff 2.03
+        assert kbert._pack_plan(2, 16) == (2, 0)
+        assert kbert._pack_plan(1, 16) == (1, 0)
+        assert kbert._pack_plan(8, 48) == (2, 0)
+        assert kbert._pack_plan(3, 48) == (1, 0)   # eff 0.98 loses to plain
+        assert kbert._pack_plan(5, 48) == (2, 1)   # eff 1.09 > plain
+        assert kbert._pack_plan(4, 100) == (1, 0)
 
 
 class TestRobertaPositions:
