@@ -84,6 +84,80 @@ def build_llama_1b(dtype, quantize=False):
     return cfg, params
 
 
+def build_llama_int8_device(geom_kwargs, rope_theta=500000.0):
+    """Random int8-quantized llama params synthesized ON DEVICE.
+
+    Host-side standard_normal at 8B scale is ~32 GB of f64 temporaries and
+    the quantized result is an 8 GB device_put through the ~30 MB/s dev
+    tunnel; a fused iota-hash lowers straight to int8 writes on the chip
+    (8B params in ~16 s). Decode throughput is weight-VALUE-independent
+    (no data-dependent control flow in the step), so hash-random weights
+    measure exactly what real ones would. Layout matches
+    models/llama.py quantize_params_int8 ({"w": int8 [L,K,N],
+    "scale": f32 [L,N]} per projection).
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    from kjarni_tpu.models import llama as kllama
+
+    def h8(shape, salt):
+        @partial(jax.jit, static_argnums=0)
+        def f(shape, salt):
+            n = 1
+            for s in shape:
+                n *= s
+            i = jax.lax.iota(jnp.uint32, n) * jnp.uint32(2654435761) + salt
+            b = ((i >> 13) & jnp.uint32(0xFF)).astype(jnp.int32) - 128
+            return jnp.clip(b, -127, 127).astype(jnp.int8).reshape(shape)
+        return f(tuple(shape), jnp.uint32(salt))
+
+    def hbf16(shape, salt, scale=0.02):
+        @partial(jax.jit, static_argnums=0)
+        def f(shape, salt, scale):
+            n = 1
+            for s in shape:
+                n *= s
+            i = jax.lax.iota(jnp.uint32, n) * jnp.uint32(2246822519) + salt
+            u = ((i >> 9) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+            return ((u - 0.5) * (2 * scale)).astype(jnp.bfloat16).reshape(shape)
+        return f(tuple(shape), jnp.uint32(salt), scale)
+
+    cfg = kllama.DecoderConfig(arch="llama", rope_theta=rope_theta,
+                               **geom_kwargs)
+    L, H, Hkv, D = (cfg.num_layers, cfg.num_heads, cfg.num_kv_heads,
+                    cfg.head_dim)
+    hid, inter, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    cos, sin = kllama.rope_cache(cfg, cfg.max_seq_len)
+    sc = 0.02 / 127.0
+
+    def proj(k_dim, n_dim, salt):
+        return {"w": h8((L, k_dim, n_dim), salt),
+                "scale": jnp.full((L, n_dim), sc, jnp.float32)}
+
+    params = {
+        "embed": hbf16((V, hid), 1),
+        "layers": {
+            "q": proj(hid, H * D, 11),
+            "k": proj(hid, Hkv * D, 12),
+            "v": proj(hid, Hkv * D, 13),
+            "o": proj(H * D, hid, 14),
+            "gate": proj(hid, inter, 15),
+            "up": proj(hid, inter, 16),
+            "down": proj(inter, hid, 17),
+            "attn_norm": jnp.ones((L, hid), jnp.bfloat16),
+            "ffn_norm": jnp.ones((L, hid), jnp.bfloat16),
+        },
+        "final_norm": jnp.ones(hid, jnp.bfloat16),
+        "lm_head": {"w": h8((hid, V), 18),
+                    "scale": jnp.full((V,), sc, jnp.float32)},
+        "rope_cos": jnp.asarray(cos, jnp.float32),
+        "rope_sin": jnp.asarray(sin, jnp.float32),
+    }
+    return cfg, params
+
+
 def _roundtrip_latency():
     import jax
     import jax.numpy as jnp
