@@ -84,23 +84,13 @@ def build_llama_1b(dtype, quantize=False):
     return cfg, params
 
 
-def build_llama_int8_device(geom_kwargs, rope_theta=500000.0):
-    """Random int8-quantized llama params synthesized ON DEVICE.
-
-    Host-side standard_normal at 8B scale is ~32 GB of f64 temporaries and
-    the quantized result is an 8 GB device_put through the ~30 MB/s dev
-    tunnel; a fused iota-hash lowers straight to int8 writes on the chip
-    (8B params in ~16 s). Decode throughput is weight-VALUE-independent
-    (no data-dependent control flow in the step), so hash-random weights
-    measure exactly what real ones would. Layout matches
-    models/llama.py quantize_params_int8 ({"w": int8 [L,K,N],
-    "scale": f32 [L,N]} per projection).
-    """
+def _device_hash_builders():
+    """(h8, hbf16): fused iota-hash random tensors built ON the device —
+    XLA writes only the final int8/bf16 bytes, no host gen, no transfer."""
     from functools import partial
 
     import jax
     import jax.numpy as jnp
-    from kjarni_tpu.models import llama as kllama
 
     def h8(shape, salt):
         @partial(jax.jit, static_argnums=0)
@@ -124,6 +114,65 @@ def build_llama_int8_device(geom_kwargs, rope_theta=500000.0):
             return ((u - 0.5) * (2 * scale)).astype(jnp.bfloat16).reshape(shape)
         return f(tuple(shape), jnp.uint32(salt), scale)
 
+    return h8, hbf16
+
+
+def build_llama_bf16_device(geom_kwargs, rope_theta=500000.0, salt0=0):
+    """Random bf16 llama params synthesized ON DEVICE (plain, unquantized
+    layout: {"w": bf16 [L,K,N]} per projection). See
+    build_llama_int8_device for why device synthesis (host gen + tunnel
+    device_put dominates bench wall time at 1B+)."""
+    import jax.numpy as jnp
+    from kjarni_tpu.models import llama as kllama
+
+    _, hbf16 = _device_hash_builders()
+    cfg = kllama.DecoderConfig(arch="llama", rope_theta=rope_theta,
+                               **geom_kwargs)
+    L, H, Hkv, D = (cfg.num_layers, cfg.num_heads, cfg.num_kv_heads,
+                    cfg.head_dim)
+    hid, inter, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    cos, sin = kllama.rope_cache(cfg, cfg.max_seq_len)
+
+    def proj(k_dim, n_dim, salt):
+        return {"w": hbf16((L, k_dim, n_dim), salt0 * 100 + salt)}
+
+    params = {
+        "embed": hbf16((V, hid), salt0 * 100 + 1),
+        "layers": {
+            "q": proj(hid, H * D, 11),
+            "k": proj(hid, Hkv * D, 12),
+            "v": proj(hid, Hkv * D, 13),
+            "o": proj(H * D, hid, 14),
+            "gate": proj(hid, inter, 15),
+            "up": proj(hid, inter, 16),
+            "down": proj(inter, hid, 17),
+            "attn_norm": jnp.ones((L, hid), jnp.bfloat16),
+            "ffn_norm": jnp.ones((L, hid), jnp.bfloat16),
+        },
+        "final_norm": jnp.ones(hid, jnp.bfloat16),
+        "lm_head": hbf16((hid, V), salt0 * 100 + 18),
+        "rope_cos": jnp.asarray(cos, jnp.float32),
+        "rope_sin": jnp.asarray(sin, jnp.float32),
+    }
+    return cfg, params
+
+
+def build_llama_int8_device(geom_kwargs, rope_theta=500000.0):
+    """Random int8-quantized llama params synthesized ON DEVICE.
+
+    Host-side standard_normal at 8B scale is ~32 GB of f64 temporaries and
+    the quantized result is an 8 GB device_put through the ~30 MB/s dev
+    tunnel; a fused iota-hash lowers straight to int8 writes on the chip
+    (8B params in ~16 s). Decode throughput is weight-VALUE-independent
+    (no data-dependent control flow in the step), so hash-random weights
+    measure exactly what real ones would. Layout matches
+    models/llama.py quantize_params_int8 ({"w": int8 [L,K,N],
+    "scale": f32 [L,N]} per projection).
+    """
+    import jax.numpy as jnp
+    from kjarni_tpu.models import llama as kllama
+
+    h8, hbf16 = _device_hash_builders()
     cfg = kllama.DecoderConfig(arch="llama", rope_theta=rope_theta,
                                **geom_kwargs)
     L, H, Hkv, D = (cfg.num_layers, cfg.num_heads, cfg.num_kv_heads,

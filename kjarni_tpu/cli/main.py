@@ -211,6 +211,8 @@ def cmd_generate(args) -> int:
         overrides["draft_num_tokens"] = args.draft_tokens
     if getattr(args, "tp", None):
         overrides["tp"] = args.tp
+    if getattr(args, "kv_cache", None):
+        overrides["kv_cache"] = args.kv_cache
     gen = Generator(args.model, quiet=args.quiet, **overrides)
     cfg = resolve_generation_config(
         args.preset, None,
@@ -233,6 +235,8 @@ def cmd_chat(args) -> int:
         chat_overrides["draft_num_tokens"] = args.draft_tokens
     if getattr(args, "tp", None):
         chat_overrides["tp"] = args.tp
+    if getattr(args, "kv_cache", None):
+        chat_overrides["kv_cache"] = args.kv_cache
     chat = Chat(args.model, system_prompt=args.system, quiet=args.quiet,
                 **chat_overrides)
     if args.message:
@@ -323,7 +327,8 @@ def cmd_serve(args) -> int:
                          draft_model=args.draft_model,
                          request_timeout_s=args.device_timeout,
                          tp=getattr(args, "tp", None),
-                         dp=getattr(args, "dp", None))
+                         dp=getattr(args, "dp", None),
+                         kv_cache=getattr(args, "kv_cache", None))
     print(f"kjarni serving on http://{args.host}:{args.port}")
     try:
         server.serve_forever()
@@ -455,6 +460,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--tp", type=int, default=None, metavar="N",
                     help="tensor-parallel over N chips (Megatron-sharded "
                          "weights + kv cache over the device mesh)")
+    sp.add_argument("--kv-cache", choices=["int8"], default=None,
+                    help="int8-quantized KV cache: halves KV HBM traffic "
+                         "(wins on batched long-context decode; bf16 is "
+                         "the single-stream pick)")
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_generate)
 
@@ -466,6 +475,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--draft-tokens", type=int, default=4)
     sp.add_argument("--tp", type=int, default=None, metavar="N",
                     help="tensor-parallel over N chips")
+    sp.add_argument("--kv-cache", choices=["int8"], default=None,
+                    help="int8-quantized KV cache (see generate --kv-cache)")
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_chat)
 
@@ -523,6 +534,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tensor-parallel decoder models over N chips")
     sp.add_argument("--dp", type=int, default=None, metavar="N",
                     help="data-parallel encoder models over N chips")
+    sp.add_argument("--kv-cache", choices=["int8"], default=None,
+                    help="int8-quantized KV cache for decoder models: "
+                         "halves KV HBM traffic, wins under batched "
+                         "long-context serving (1.44x at B=8/fill 3.5k)")
     sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("export-browser",

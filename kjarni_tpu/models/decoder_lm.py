@@ -632,8 +632,16 @@ class DecoderLM:
         pad_mask[:, bucket:] = 1  # decode slots are always real
 
         prefill_b, decode_b = self._batch_fns(gen, B)
-        ck, cv = self.family.init_cache(self.config, B, T_b,
-                                        self._cache_dtype)
+        # kv_cache="int8" pays exactly here: at B=1 the stream is weight-
+        # bound and int8 KV measures 0.93x, but batched long-context decode
+        # is KV-bound — 1.44x at B=8 / fill 3456 on v5e
+        # (scripts/kv_int8_batch_bench.py; BASELINE.md round-4 decision rule)
+        if self._kv_quantized:
+            ck, cv = kllama.init_cache(self.config, B, T_b,
+                                       self._cache_dtype, quantized=True)
+        else:
+            ck, cv = self.family.init_cache(self.config, B, T_b,
+                                            self._cache_dtype)
         if self._mesh is not None:
             from ..parallel.mesh import shard_cache
             ck, cv = shard_cache((ck, cv), self._mesh)

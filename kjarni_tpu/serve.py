@@ -47,7 +47,8 @@ class _Engine:
                  request_timeout_s: float | None = None,
                  tp: int | None = None, dp: int | None = None,
                  steps_per_sync: int = 16,
-                 prompt_prefix: str | None = None):
+                 prompt_prefix: str | None = None,
+                 kv_cache: str | None = None):
         if scheduler not in ("batch", "continuous"):
             raise KjarniError(f"unknown scheduler '{scheduler}' "
                               f"(expected 'batch' or 'continuous')")
@@ -95,6 +96,10 @@ class _Engine:
         # speculative decoding for /v1/generate (greedy requests)
         self.draft_model = draft_model
         self.draft_num_tokens = draft_num_tokens
+        # kv_cache="int8" halves KV HBM traffic: 1.44x at B=8 / fill 3456,
+        # 0.93x at B=1 (scripts/kv_int8_batch_bench.py) — the batched
+        # long-context serving pick
+        self.kv_cache = kv_cache
         # device-hang watchdog (gpu_ops/timeout.rs analogue): bound each
         # request body; a wedged device yields 503, not a hung connection
         from .core.watchdog import DEFAULT_TIMEOUT_S
@@ -135,12 +140,13 @@ class _Engine:
         elif kind in ("generate",):
             from .tasks.generator import Generator
             obj = Generator(model, quiet=self.quiet,
-                            tp=self.tp,
+                            tp=self.tp, kv_cache=self.kv_cache,
                             draft_model=self.draft_model,
                             draft_num_tokens=self.draft_num_tokens)
         elif kind == "chat":
             from .tasks.chat import Chat
-            obj = Chat(model, quiet=self.quiet, tp=self.tp)
+            obj = Chat(model, quiet=self.quiet, tp=self.tp,
+                       kv_cache=self.kv_cache)
         elif kind == "search":
             from .tasks.searcher import Searcher
             obj = Searcher(model, quiet=self.quiet)
@@ -441,13 +447,14 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
           request_timeout_s: float | None = None,
           tp: int | None = None, dp: int | None = None,
           steps_per_sync: int = 16,
-          prompt_prefix: str | None = None) -> ThreadingHTTPServer:
+          prompt_prefix: str | None = None,
+          kv_cache: str | None = None) -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
                      batch_window_ms=batch_window_ms, scheduler=scheduler,
                      draft_model=draft_model,
                      request_timeout_s=request_timeout_s,
                      tp=tp, dp=dp, steps_per_sync=steps_per_sync,
-                     prompt_prefix=prompt_prefix)
+                     prompt_prefix=prompt_prefix, kv_cache=kv_cache)
     server = KjarniHTTPServer((host, port), make_handler(engine))
     return server
 

@@ -32,6 +32,7 @@ class Chat:
                  dtype: str = "auto",
                  quantize: Optional[str] = None,
                  tp: Optional[int] = None,
+                 kv_cache: Optional[str] = None,
                  draft_model: Optional[str] = None,
                  draft_num_tokens: int = 4,
                  offline: bool = False,
@@ -43,8 +44,9 @@ class Chat:
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
         # tp=N shards the model tensor-parallel over N chips (parallel/mesh.py)
+        # kv_cache="int8": see tasks/generator.py — batched long-context pick
         self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
-                             quantize=quantize, tp=tp)
+                             quantize=quantize, tp=tp, kv_cache=kv_cache)
         self._spec = None
         if draft_model is not None:
             draft_dir, _ = resolve_model_dir(

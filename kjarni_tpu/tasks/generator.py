@@ -58,6 +58,7 @@ class Generator:
                  quantize: Optional[str] = None,
                  execution_plan=None,
                  tp: Optional[int] = None,
+                 kv_cache: Optional[str] = None,
                  draft_model: Optional[str] = None,
                  draft_num_tokens: int = 4,
                  offline: bool = False,
@@ -69,9 +70,12 @@ class Generator:
         self.model_info = info
         self.model_id = info.cli_name if info else str(model)
         # tp=N shards the model tensor-parallel over N chips (parallel/mesh.py)
+        # kv_cache="int8" halves KV HBM traffic: measured 1.44x at B=8 /
+        # fill 3456, 0.93x at B=1 (scripts/kv_int8_batch_bench.py) — pick
+        # it for batched long-context serving, bf16 for single-stream.
         self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
                              quantize=quantize, execution_plan=execution_plan,
-                             tp=tp)
+                             tp=tp, kv_cache=kv_cache)
         # Speculative decoding: the generator owns the draft model so every
         # caller (Chat/CLI/serve) gets it — cf. decoder/generator.rs:56
         # loading the draft inside DecoderGenerator.

@@ -41,35 +41,29 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    import numpy as np
-
-    from bench import build_llama_1b, _roundtrip_latency
-    from __graft_entry__ import _random_llama
+    from bench import build_llama_bf16_device, _roundtrip_latency
     from kjarni_tpu.models import llama as kllama
 
-    def to_bf16(params):
-        params = jax.tree.map(
-            lambda x: jnp.asarray(x, jnp.bfloat16)
-            if x.dtype == np.float32 and x.ndim > 1 else jnp.asarray(x),
-            params)
-        params["rope_cos"] = jnp.asarray(params["rope_cos"], jnp.float32)
-        params["rope_sin"] = jnp.asarray(params["rope_sin"], jnp.float32)
-        return params
-
+    # weights synthesize on device (bench.build_llama_bf16_device): host
+    # gen + a 2.5 GB tunnel device_put previously dominated bench wall time
     if tiny:
-        t_cfg, t_params = _random_llama({"max_seq_len": 4096})
-        t_params = to_bf16(t_params)
-        d_kwargs = {"hidden_size": 128, "num_layers": 2, "num_heads": 4,
-                    "num_kv_heads": 2, "head_dim": 32,
+        t_kwargs = {"vocab_size": 1024, "hidden_size": 256, "num_layers": 4,
+                    "num_heads": 8, "num_kv_heads": 4, "head_dim": 32,
+                    "intermediate_size": 512, "max_seq_len": 4096}
+        d_kwargs = {"vocab_size": 1024, "hidden_size": 128, "num_layers": 2,
+                    "num_heads": 4, "num_kv_heads": 2, "head_dim": 32,
                     "intermediate_size": 256, "max_seq_len": 4096}
     else:
-        t_cfg, t_params = build_llama_1b(None)
+        t_kwargs = {"vocab_size": 128256, "hidden_size": 2048,
+                    "num_layers": 16, "num_heads": 32, "num_kv_heads": 8,
+                    "head_dim": 64, "intermediate_size": 8192,
+                    "max_seq_len": 4096}
         d_kwargs = {"vocab_size": 128256, "hidden_size": 1024,
                     "num_layers": 8, "num_heads": 16, "num_kv_heads": 4,
                     "head_dim": 64, "intermediate_size": 4096,
                     "max_seq_len": 4096}
-    d_cfg, d_params = _random_llama(d_kwargs, seed=1)
-    d_params = to_bf16(d_params)
+    t_cfg, t_params = build_llama_bf16_device(t_kwargs, salt0=0)
+    d_cfg, d_params = build_llama_bf16_device(d_kwargs, salt0=1)
     n_draft = sum(int(x.size) for x in jax.tree.leaves(d_params))
     print(f"draft params: {n_draft / 1e9:.3f}B", file=sys.stderr)
 

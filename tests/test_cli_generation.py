@@ -62,6 +62,14 @@ class TestGenerateCli:
                      "--max-tokens", "4", "--preset", "greedy"]) == 0
         capsys.readouterr()
 
+    def test_generate_kv_cache_int8(self, llama_dir, capsys):
+        # --kv-cache int8 threads through Generator -> DecoderLM (the
+        # batched long-context serving pick; BASELINE.md round-4 rule)
+        assert main(["generate", "hello world", "--model", str(llama_dir),
+                     "--max-tokens", "4", "--preset", "greedy",
+                     "--kv-cache", "int8"]) == 0
+        capsys.readouterr()
+
     def test_generate_json(self, llama_dir, capsys):
         assert main(["generate", "hello world", "--model", str(llama_dir),
                      "--max-tokens", "3", "--preset", "greedy",

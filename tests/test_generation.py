@@ -342,6 +342,18 @@ class TestInt8KvCache:
         assert ck["q"].dtype == jnp.int8
         assert ck["s"].ndim == 4
 
+    def test_kv_int8_generate_batch_matches(self, llama_dir):
+        # the measured payoff shape (1.44x at B=8/fill 3456 on v5e,
+        # scripts/kv_int8_batch_bench.py): generate_batch must honor
+        # kv_cache="int8" and keep greedy output
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=48)
+        prompts = ["hello world the", "good day", "hello"]
+        base = DecoderLM(d, dtype="f32", max_context=64)
+        quant = DecoderLM(d, dtype="f32", max_context=64, kv_cache="int8")
+        assert (quant.generate_batch(prompts, config=cfg)
+                == base.generate_batch(prompts, config=cfg))
+
 
 class TestExecutionPlan:
     """Per-stage host offload (ExecutionPlan, execution/plan.rs:4).
