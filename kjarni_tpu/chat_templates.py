@@ -147,6 +147,55 @@ class Llama3ChatTemplate(ChatTemplate):
         return "You are a helpful, harmless, and honest assistant."
 
 
+class Llama2ChatTemplate(ChatTemplate):
+    """Llama 2 Instruct legacy format (cf. chat/llama3.rs:160-230
+    Llama2ChatTemplate):
+
+        <s>[INST] <<SYS>>\\n{system}\\n<</SYS>>\\n\\n{user} [/INST] \
+{assistant} </s><s>[INST] {user} [/INST]
+
+    The system prompt rides inside the FIRST [INST] block; later system
+    messages are ignored (Llama 2 has no mid-conversation system turns).
+    """
+
+    BOS = "<s>"
+    EOS = "</s>"
+
+    def __init__(self, add_bos: bool = True):
+        self.add_bos = add_bos
+
+    def apply(self, conversation: Conversation) -> str:
+        msgs = list(conversation.messages)
+        if not msgs:
+            return ""
+        system_content = None
+        if msgs[0].role == Role.SYSTEM:
+            system_content = msgs[0].content
+            msgs = msgs[1:]
+        out = []
+        first_user = True
+        for m in msgs:
+            if m.role == Role.USER:
+                if self.add_bos or not first_user:
+                    out.append(self.BOS)
+                out.append("[INST] ")
+                if first_user:
+                    if system_content is not None:
+                        out.append(f"<<SYS>>\n{system_content}\n<</SYS>>\n\n")
+                    first_user = False
+                out.append(f"{m.content} [/INST]")
+            elif m.role == Role.ASSISTANT:
+                out.append(f" {m.content} {self.EOS}")
+            # mid-conversation SYSTEM messages are ignored
+        return "".join(out)
+
+    def stop_sequences(self) -> list[str]:
+        return [self.EOS]
+
+    def default_system_prompt(self) -> Optional[str]:
+        return "You are a helpful, respectful and honest assistant."
+
+
 class ChatMLTemplate(ChatTemplate):
     """Qwen / ChatML format, cf. chat/chatml.rs."""
 
@@ -225,3 +274,18 @@ def template_for_arch(arch: str) -> ChatTemplate:
     if arch == "phi3":
         return Phi3ChatTemplate()
     return RawTemplate()
+
+
+def template_by_name(name: str) -> ChatTemplate:
+    """Explicit template override (Chat(chat_template=...), CLI
+    --chat-template): covers fine-tunes whose prompt format differs from
+    the base architecture's default — the reason the reference keeps a
+    Llama2 template around with no Llama-2 registry entry."""
+    table = {"llama2": Llama2ChatTemplate, "llama3": Llama3ChatTemplate,
+             "chatml": ChatMLTemplate, "mistral": MistralChatTemplate,
+             "phi3": Phi3ChatTemplate, "raw": RawTemplate}
+    cls = table.get(name.lower())
+    if cls is None:
+        raise ValueError(
+            f"unknown chat template '{name}' (one of: {sorted(table)})")
+    return cls()

@@ -237,6 +237,8 @@ def cmd_chat(args) -> int:
         chat_overrides["tp"] = args.tp
     if getattr(args, "kv_cache", None):
         chat_overrides["kv_cache"] = args.kv_cache
+    if getattr(args, "chat_template", None):
+        chat_overrides["chat_template"] = args.chat_template
     chat = Chat(args.model, system_prompt=args.system, quiet=args.quiet,
                 **chat_overrides)
     if args.message:
@@ -477,6 +479,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="tensor-parallel over N chips")
     sp.add_argument("--kv-cache", choices=["int8"], default=None,
                     help="int8-quantized KV cache (see generate --kv-cache)")
+    sp.add_argument("--chat-template",
+                    choices=["llama2", "llama3", "chatml", "mistral", "phi3",
+                             "raw"],
+                    default=None,
+                    help="override the prompt format (default: the model "
+                         "architecture's template; 'llama2' = legacy "
+                         "[INST]/<<SYS>> fine-tunes)")
     add_common(sp, "qwen2.5-0.5b-instruct")
     sp.set_defaults(fn=cmd_chat)
 

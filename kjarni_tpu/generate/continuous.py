@@ -121,21 +121,34 @@ class ContinuousEngine:
         dt = lm.params["embed"].dtype
         if dt == jnp.int8:
             dt = jnp.bfloat16
+        self._dtype = dt
+        # int8 KV (lm kv_cache="int8"): the engine honors the LM's decision —
+        # batched long-context decode is exactly the B×fill KV-bound shape
+        # where int8 wins (BASELINE.md round-4 rule: 1.44x at B=8/high fill).
+        # The quantized cache is a dict {"q": int8 [..., T, D], "s": f32
+        # [..., T]}; every transform below is tree-mapped and the position
+        # axis sits at the same index in both leaves.
+        self._kv_quantized = bool(getattr(lm, "_kv_quantized", False))
         # one B=1 cache per slot, stacked on a leading slot axis
-        ck1, cv1 = lm.family.init_cache(self.cfg, 1, self.T, dt)
-        self.cache_k = jnp.zeros((slots,) + ck1.shape, ck1.dtype)
-        self.cache_v = jnp.zeros((slots,) + cv1.shape, cv1.dtype)
+        ck1, cv1 = self._init_cache1(self.T)
+        stack = lambda a: jnp.zeros((slots,) + a.shape, a.dtype)
+        self.cache_k = jax.tree.map(stack, ck1)
+        self.cache_v = jax.tree.map(stack, cv1)
         if getattr(lm, "_mesh", None) is not None:
             # tensor-parallel lm: shard the stacked caches' kv-head axis
-            # ([S, L, 1, Hkv, T, D] -> axis 3) to match the sharded weights
+            # ([S, L, 1, Hkv, T, D] -> axis 3; same index in the int8 "s"
+            # leaf [S, L, 1, Hkv, T]) to match the sharded weights
             from jax.sharding import NamedSharding, PartitionSpec as P
             mesh = lm._mesh
-            spec = [None] * self.cache_k.ndim
-            if self.cache_k.shape[3] % mesh.shape.get("tp", 1) == 0:
-                spec[3] = "tp"
-            sh = NamedSharding(mesh, P(*spec))
-            self.cache_k = jax.device_put(self.cache_k, sh)
-            self.cache_v = jax.device_put(self.cache_v, sh)
+
+            def shard(a):
+                spec = [None] * a.ndim
+                if a.shape[3] % mesh.shape.get("tp", 1) == 0:
+                    spec[3] = "tp"
+                return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+            self.cache_k = jax.tree.map(shard, self.cache_k)
+            self.cache_v = jax.tree.map(shard, self.cache_v)
         self._slots = [_Slot() for _ in range(slots)]
         # ALL per-slot decode state is device-resident and never read back:
         # the host only ever sees the packed [S, k+1] window token block.
@@ -182,7 +195,6 @@ class ContinuousEngine:
         # working-cache bucket granularity (see _build_step); tests shrink it
         # to cross buckets cheaply on tiny models
         self._kv_bucket_step = 512
-        self._dtype = dt
         # admission prefill memory gate (see _admit_fn): above this f32-score
         # byte bound a wave routes through flash (TPU, llama family) or
         # chunked prefill instead of materializing one [n, H, S, T] score
@@ -194,6 +206,13 @@ class ContinuousEngine:
         self._admit_plans: dict = {}   # (bucket, m) -> chosen memory plan
 
     # ------------------------------------------------------------------
+
+    def _init_cache1(self, length: int):
+        """One B=1 cache of the engine's dtype/quantization discipline."""
+        if self._kv_quantized:
+            return self.lm.family.init_cache(self.cfg, 1, length,
+                                             self._dtype, quantized=True)
+        return self.lm.family.init_cache(self.cfg, 1, length, self._dtype)
 
     def _step_fn(self, k_steps: int, plain: bool, kv_bucket):
         key = (k_steps, plain, kv_bucket)
@@ -293,8 +312,7 @@ class ContinuousEngine:
             raise GenerationError(
                 f"prefix ({len(ids)} tokens) leaves no room in slot "
                 f"capacity {self.T}")
-        ck1, cv1 = self.family.init_cache(self.cfg, 1, len(ids),
-                                          self.cache_k.dtype)
+        ck1, cv1 = self._init_cache1(len(ids))
         _, ck1, cv1 = self.family.forward(
             self.lm.params, self.cfg,
             jnp.asarray([ids], jnp.int32), ck1, cv1, jnp.int32(0))
@@ -385,6 +403,7 @@ class ContinuousEngine:
                         break            # largest dividing chunk under limit
         emb = self.lm.params["embed"]
         h_dim = int(emb.shape[-1])
+        act_dtype = self._dtype
         self._admit_plans[(bucket, m)] = {
             "mode": mode, "chunk": chunk, "kb": eff_kb,
             "score_bytes": score_bytes}
@@ -399,21 +418,24 @@ class ContinuousEngine:
             # gather the joining slots' caches [n, L, 1, Hkv, T, D] and fold
             # them into ONE plain batched prefill [L, n, Hkv, T, D] — the
             # same fast path generate_batch uses — instead of vmapping n
-            # B=1 forwards (measured ~3.5x slower for a full 8-slot wave)
-            ck_sel = ck[slots_n]
-            cv_sel = cv[slots_n]
-            ckb = jnp.moveaxis(ck_sel[:, :, 0], 0, 1)
-            cvb = jnp.moveaxis(cv_sel[:, :, 0], 0, 1)
+            # B=1 forwards (measured ~3.5x slower for a full 8-slot wave).
+            # All transforms are tree-mapped: the int8 cache is a dict whose
+            # "s" leaf drops the trailing D axis but keeps every other axis
+            # at the same index, so the same lambdas apply.
+            fold = lambda a: jnp.moveaxis(a[slots_n][:, :, 0], 0, 1)
+            ckb = jax.tree.map(fold, ck)
+            cvb = jax.tree.map(fold, cv)
             if m:
                 pk, pv = prefix_kv         # [L, 1, Hkv, m, D] -> all lanes
-                n_lanes = ckb.shape[1]
-                bshape = (pk.shape[0], n_lanes) + pk.shape[2:]
-                ckb = jax.lax.dynamic_update_slice(
-                    ckb, jnp.broadcast_to(pk, bshape).astype(ckb.dtype),
-                    (0, 0, 0, 0, 0))
-                cvb = jax.lax.dynamic_update_slice(
-                    cvb, jnp.broadcast_to(pv, bshape).astype(cvb.dtype),
-                    (0, 0, 0, 0, 0))
+
+                def bcast(dst, src):
+                    bshape = (src.shape[0], dst.shape[1]) + src.shape[2:]
+                    return jax.lax.dynamic_update_slice(
+                        dst, jnp.broadcast_to(src, bshape).astype(dst.dtype),
+                        (0,) * dst.ndim)
+
+                ckb = jax.tree.map(bcast, ckb, pk)
+                cvb = jax.tree.map(bcast, cvb, pv)
             # decode on the [0, kb) working slice (write back after): the
             # admission pass and its scores see only the working range
             full_ckb = full_cvb = None
@@ -441,7 +463,7 @@ class ContinuousEngine:
                                        cand.astype(last_h.dtype), last_h)
                     return (ckb, cvb, last_h), None
 
-                last_h0 = jnp.zeros((ids_n.shape[0], h_dim), ckb.dtype)
+                last_h0 = jnp.zeros((ids_n.shape[0], h_dim), act_dtype)
                 (ckb, cvb, last_h), _ = jax.lax.scan(
                     chunk_body, (ckb, cvb, last_h0),
                     jnp.arange(bucket // chunk))
@@ -473,8 +495,10 @@ class ContinuousEngine:
                 logits_n, keys0_n, tails_n, tail_len_n, fp_n, tk_n, ng_n)
             # scatter the new slots' state at their indices (duplicates from
             # lane padding write identical values)
-            ck = ck.at[slots_n].set(jnp.moveaxis(ckb, 1, 0)[:, :, None])
-            cv = cv.at[slots_n].set(jnp.moveaxis(cvb, 1, 0)[:, :, None])
+            unfold = lambda full, w: full.at[slots_n].set(
+                jnp.moveaxis(w, 1, 0)[:, :, None])
+            ck = jax.tree.map(unfold, ck, ckb)
+            cv = jax.tree.map(unfold, cv, cvb)
             last_tok = last_tok.at[slots_n].set(toks)
             keys = keys.at[slots_n].set(keys_n)
             hist = hist.at[slots_n].set(h_n)

@@ -170,7 +170,13 @@ class DecoderLM:
         self._cache_dtype = dtype
         if kv_cache not in (None, "int8"):
             raise InvalidConfigError(f"unknown kv_cache mode '{kv_cache}'")
-        self._kv_quantized = (kv_cache == "int8" and self.family is kllama)
+        if kv_cache == "int8" and self.family is not kllama:
+            # fail loudly (cf. the tp>1 gate above): the CLI/serve --kv-cache
+            # flag is user-reachable and a silently-bf16 cache would lie
+            raise InvalidConfigError(
+                "kv_cache='int8' supports llama-family models only "
+                "(llama/qwen2/mistral/phi3)")
+        self._kv_quantized = (kv_cache == "int8")
         self._cache = None  # allocated lazily, reused across generations
 
         tok_path = model_dir / "tokenizer.json"

@@ -35,6 +35,7 @@ class Chat:
                  kv_cache: Optional[str] = None,
                  draft_model: Optional[str] = None,
                  draft_num_tokens: int = 4,
+                 chat_template: Optional[str] = None,
                  offline: bool = False,
                  quiet: bool = False):
         self.device = Device.resolve(device)
@@ -47,6 +48,11 @@ class Chat:
         # kv_cache="int8": see tasks/generator.py — batched long-context pick
         self._lm = DecoderLM(model_dir, dtype=dtype, max_context=max_context,
                              quantize=quantize, tp=tp, kv_cache=kv_cache)
+        if chat_template is not None:
+            # explicit prompt-format override (e.g. "llama2" for legacy
+            # [INST]/<<SYS>> fine-tunes); default is the arch's template
+            from ..chat_templates import template_by_name
+            self._lm.chat_template = template_by_name(chat_template)
         self._spec = None
         if draft_model is not None:
             draft_dir, _ = resolve_model_dir(

@@ -17,9 +17,12 @@ generate_batch does. Arms: bf16 KV vs int8 KV, B in {1, 8}.
 Methodology = bench.py bench_decode (fused 32-step scan, min of 3,
 tunnel roundtrip subtracted).
 
-Per-step KV bytes at B=8, kb=3584 (read the full working slice):
-  bf16: 16 layers * 2 (k+v) * 8 kvheads * 3584 * 64 * 2 B * 8 rows = 1.88 GB
-  int8: half                                                       = 0.94 GB
+Per-step KV bytes at B=8, kb=3584:
+  read (attention): 16 layers * 2 (k+v) * 8 kvheads * 3584 * 64
+                    * 2 B * 8 rows                                = 0.94 GB
+  x2 scan-carry restack (the layer scan re-writes the working
+    slice it carries every step: read + write)                    = 1.88 GB
+  int8: half                                                      = 0.94 GB
 Weight bytes (int8 1B): ~1.2 GB. Roofline predicts ~1.4x at B=8.
 """
 

@@ -6,8 +6,9 @@ import torch
 from helpers import build_word_tokenizer, save_torch_model
 
 from kjarni_tpu.chat_templates import (ChatMLTemplate, Conversation,
-                                       Llama3ChatTemplate, MistralChatTemplate,
-                                       Message, Phi3ChatTemplate, RawTemplate)
+                                       Llama2ChatTemplate, Llama3ChatTemplate,
+                                       MistralChatTemplate, Message,
+                                       Phi3ChatTemplate, RawTemplate)
 from kjarni_tpu.tasks.chat import Chat
 from kjarni_tpu.tasks.generator import Generator, resolve_generation_config
 
@@ -66,6 +67,44 @@ class TestTemplates:
         assert t.apply(conv) == ("<s>[INST] Assistant is friendly.\n\nHello! [/INST]"
                                  " Hi there!</s>[INST] How are you? [/INST]"
                                  " I'm good, thank you!</s>")
+
+    def test_llama2_empty_conversation(self):
+        # cf. llama3.rs:424 llama2_empty_conversation
+        assert Llama2ChatTemplate().apply(Conversation()) == ""
+
+    def test_llama2_single_user_with_system(self):
+        # cf. llama3.rs llama2_single_user_message_with_system
+        t = Llama2ChatTemplate()
+        conv = Conversation([Message.system("You are helpful."),
+                             Message.user("Hello!")])
+        assert t.apply(conv) == ("<s>[INST] <<SYS>>\nYou are helpful.\n"
+                                 "<</SYS>>\n\nHello! [/INST]")
+
+    def test_llama2_multi_turn(self):
+        # cf. llama3.rs llama2_multi_turn: each turn is its own <s>[INST]
+        # block and each assistant reply closes with </s>
+        t = Llama2ChatTemplate()
+        conv = Conversation([Message.user("Hi"),
+                             Message.assistant("Hello!"),
+                             Message.user("How are you?"),
+                             Message.assistant("I am fine.")])
+        p = t.apply(conv)
+        assert p == ("<s>[INST] Hi [/INST] Hello! </s>"
+                     "<s>[INST] How are you? [/INST] I am fine. </s>")
+        assert p.count("[/INST]") == 2 and p.count("</s>") == 2
+
+    def test_llama2_mid_conversation_system_ignored(self):
+        t = Llama2ChatTemplate()
+        conv = Conversation([Message.user("Hi"),
+                             Message.system("late system"),
+                             Message.user("again")])
+        assert "late system" not in t.apply(conv)
+
+    def test_llama2_stops_and_default_system(self):
+        t = Llama2ChatTemplate()
+        assert t.stop_sequences() == ["</s>"]
+        assert t.default_system_prompt() == \
+            "You are a helpful, respectful and honest assistant."
 
     def test_phi3_format(self):
         t = Phi3ChatTemplate()

@@ -11,7 +11,7 @@ from kjarni_tpu.models.decoder_lm import DecoderLM
 
 
 @pytest.fixture(scope="module")
-def lm(tmp_path_factory):
+def lm_dir(tmp_path_factory):
     from transformers import LlamaConfig, LlamaForCausalLM
     d = tmp_path_factory.mktemp("cont_lm")
     vocab_map = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
@@ -22,7 +22,12 @@ def lm(tmp_path_factory):
                          eos_token_id=3, tie_word_embeddings=False)
     torch.manual_seed(11)
     save_torch_model(d, LlamaForCausalLM(config).eval(), config)
-    return DecoderLM(d, max_context=96)
+    return d
+
+
+@pytest.fixture(scope="module")
+def lm(lm_dir):
+    return DecoderLM(lm_dir, max_context=96)
 
 
 PROMPTS = ["hello world", "the doctor went to", "data is safe with",
@@ -505,3 +510,108 @@ class TestChunkedAdmission:
         expected = [st.id for st in big.generate_stream(token_ids=ids,
                                                         config=cfg)]
         assert done[rid].token_ids == expected
+
+
+class TestContinuousInt8Kv:
+    """kv_cache="int8" reaches the continuous engine (the round-4 decision
+    rule: int8 KV for batched long-context decode — 1.44x at B=8/high fill).
+    The engine must allocate quantized stacked slot caches and keep greedy
+    output equal to the single-stream int8 path, which quantizes K/V the
+    same way (per-(head, position) scales, llama.py _cache_write)."""
+
+    @pytest.fixture(scope="class")
+    def qlm(self, lm_dir):
+        return DecoderLM(lm_dir, max_context=96, kv_cache="int8")
+
+    def int8_reference(self, qlm, prompt, max_new):
+        cfg = GenerationConfig.greedy(max_new_tokens=max_new, max_length=96)
+        return [st.id for st in qlm.generate_stream(prompt, config=cfg)]
+
+    def test_engine_allocates_int8_caches(self, qlm):
+        import jax.numpy as jnp
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(qlm, slots=2)
+        assert isinstance(eng.cache_k, dict)
+        assert eng.cache_k["q"].dtype == jnp.int8
+        assert eng.cache_k["s"].dtype == jnp.float32
+        # [S, L, 1, Hkv, T] scales: position axis shared with the q leaf
+        assert eng.cache_k["s"].shape == eng.cache_k["q"].shape[:-1]
+
+    def test_int8_batch_matches_int8_single_stream(self, qlm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(qlm, slots=4)
+        rids = {eng.submit(p, max_new_tokens=8): p for p in PROMPTS[:4]}
+        done = eng.run()
+        assert len(done) == 4
+        for fr in done:
+            assert fr.token_ids == self.int8_reference(
+                qlm, rids[fr.request_id], 8), rids[fr.request_id]
+
+    def test_int8_midflight_join_and_slot_reuse(self, qlm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(qlm, slots=2)
+        rids = {eng.submit(p, max_new_tokens=6): p for p in PROMPTS}
+        done = eng.run()
+        assert len(done) == 5
+        for fr in done:
+            assert fr.token_ids == self.int8_reference(
+                qlm, rids[fr.request_id], 6), rids[fr.request_id]
+
+    def test_int8_working_bucket_windows(self, qlm):
+        """Fill-proportional window decode slices BOTH leaves of the
+        quantized cache at the same position axis; output is bucket-step
+        invariant."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+
+        def run(bucket_step):
+            eng = ContinuousEngine(qlm, slots=3, steps_per_sync=4)
+            eng._kv_bucket_step = bucket_step
+            rids = [eng.submit(p, max_new_tokens=12) for p in PROMPTS[:3]]
+            done = {fr.request_id: fr.token_ids for fr in eng.run()}
+            return [done[r] for r in rids]
+
+        assert run(4096) == run(8)
+
+    def test_int8_prefix_cache_hit(self, qlm):
+        """register_prefix under int8: the cached prefix KV is already
+        quantized; broadcast-copy into joining slots preserves equality."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        prefix = "hello world the"
+        prompts = [prefix + " doctor went", prefix + " data"]
+        eng = ContinuousEngine(qlm, slots=2)
+        assert eng.register_prefix(prefix) > 0
+        rids = {eng.submit(p, max_new_tokens=8): p for p in prompts}
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert eng.stats["prefix_hits"] == 2
+        for rid, prompt in rids.items():
+            assert done[rid].token_ids == self.int8_reference(
+                qlm, prompt, 8), prompt
+
+    def test_int8_sampled_slots_reproducible(self, qlm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        from kjarni_tpu.generate.sampling import SamplingParams
+        sp = SamplingParams(temperature=0.9, top_k=20, top_p=0.95, min_p=0.0)
+
+        def run():
+            eng = ContinuousEngine(qlm, slots=2)
+            rid = eng.submit(PROMPTS[1], max_new_tokens=8, sampling=sp,
+                             seed=42)
+            return {fr.request_id: fr for fr in eng.run()}[rid].token_ids
+
+        assert run() == run()
+
+    def test_non_llama_int8_rejected(self, tmp_path):
+        """ADVICE r4: kv_cache="int8" on a family without a quantized cache
+        must fail loudly, not silently run bf16."""
+        from transformers import GPT2Config, GPT2LMHeadModel
+        from kjarni_tpu.core.errors import InvalidConfigError
+        d = tmp_path / "gpt2"
+        d.mkdir()
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = GPT2Config(vocab_size=len(vm), n_embd=32, n_layer=2,
+                            n_head=2, n_positions=64, bos_token_id=2,
+                            eos_token_id=3)
+        torch.manual_seed(13)
+        save_torch_model(d, GPT2LMHeadModel(config).eval(), config)
+        with pytest.raises(InvalidConfigError, match="llama-family"):
+            DecoderLM(d, max_context=64, kv_cache="int8")

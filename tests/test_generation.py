@@ -345,7 +345,13 @@ class TestInt8KvCache:
     def test_kv_int8_generate_batch_matches(self, llama_dir):
         # the measured payoff shape (1.44x at B=8/fill 3456 on v5e,
         # scripts/kv_int8_batch_bench.py): generate_batch must honor
-        # kv_cache="int8" and keep greedy output
+        # kv_cache="int8" and keep greedy output.
+        # Exact equality vs the f32 cache is argmax-margin-dependent (int8
+        # KV is lossy): it holds on this seed-11 fixture because short
+        # greedy generations keep comfortable logit margins (same caveat as
+        # test_kv_int8_greedy_matches_f32_cache above). If an XLA/backend
+        # change ever flips a token here, compare against an int8-KV
+        # single-stream reference instead of loosening the assert.
         d, _ = llama_dir
         cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=48)
         prompts = ["hello world the", "good day", "hello"]
