@@ -112,7 +112,7 @@ class ContinuousEngine:
 
     def __init__(self, lm, slots: int = 8, max_context: Optional[int] = None,
                  no_repeat_ngram_size: int = 0, steps_per_sync: int = 8,
-                 auto_prefix_min: int = 32):
+                 auto_prefix_min: int = 32, max_prefixes: int = 8):
         self.lm = lm
         self.family = lm.family   # llama family or gpt2: same forward shape
         self.cfg = lm.config
@@ -173,12 +173,18 @@ class ContinuousEngine:
                       "admission_waves": 0, "prefix_hits": 0, "tokens": 0}
         self._prefill_cache: dict = {}
         # shared-prefix prompt cache (register_prefix): prefilled KV copied
-        # into joining slots so admissions only compute their suffix.
-        # auto_prefix_min > 0 also LEARNS the prefix from traffic (two
-        # prompts sharing that many leading tokens trigger registration);
-        # 0 disables auto-detection.
-        self._prefix_ids: list[int] = []
-        self._prefix_kv = None
+        # into joining slots so admissions only compute their suffix. A
+        # TABLE of up to `max_prefixes` prefixes (multi-tenant serving: one
+        # per distinct system prompt); admission matches each prompt against
+        # the longest registered prefix. The jit-variant space stays bounded:
+        # one admission variant per (suffix bucket, prefix LENGTH) — two
+        # prefixes of equal length share a compiled variant because the
+        # prefix KV is a traced argument, and the table is capped.
+        # auto_prefix_min > 0 also LEARNS prefixes from traffic (two prompts
+        # sharing that many leading tokens trigger registration, repeatedly
+        # until the table is full); 0 disables auto-detection.
+        self._prefixes: list[tuple[list, tuple]] = []   # (ids, (k, v))
+        self.max_prefixes = max_prefixes
         self.auto_prefix_min = auto_prefix_min
         self._auto_candidate: Optional[list] = None
         # Up to `steps_per_sync` decode iterations fuse per host dispatch
@@ -297,38 +303,69 @@ class ContinuousEngine:
 
         return step
 
+    @property
+    def _prefix_ids(self) -> list:
+        """First registered prefix's token ids (legacy single-prefix view;
+        [] when the table is empty)."""
+        return self._prefixes[0][0] if self._prefixes else []
+
     def register_prefix(self, prompt: str) -> int:
         """Prompt caching across slots: prefill `prompt` ONCE, and every
         subsequent submit whose token ids start with it gets the cached KV
         copied into its slot — admission then computes only the suffix.
         The single-stream analogue is DecoderLM._prefill_with_reuse; this
-        is the serving-side version (e.g. a shared system prompt). Returns
-        the cached token count. Beyond-reference feature."""
+        is the serving-side version (e.g. a shared system prompt). Up to
+        `max_prefixes` distinct prefixes can be registered (multi-tenant:
+        one per system prompt); each prompt admits against its LONGEST
+        matching prefix. Returns the cached token count. Beyond-reference
+        feature."""
         return self._register_prefix_ids(
             self.lm.encode_prompt(prompt, add_bos=True))
+
+    def _match_prefix(self, ids: list) -> tuple[int, int]:
+        """(table index, prefix length) of the longest registered prefix
+        `ids` extends by at least one token; (-1, 0) on a miss."""
+        best, m = -1, 0
+        for pi, (pids, _) in enumerate(self._prefixes):
+            P = len(pids)
+            if P > m and len(ids) > P and ids[:P] == pids:
+                best, m = pi, P
+        return best, m
 
     def _register_prefix_ids(self, ids: list) -> int:
         if len(ids) + 1 + self.steps_per_sync >= self.T:
             raise GenerationError(
                 f"prefix ({len(ids)} tokens) leaves no room in slot "
                 f"capacity {self.T}")
+        ids = list(ids)
+        for pids, _ in self._prefixes:
+            if pids == ids:
+                return len(ids)            # already cached
+        if len(self._prefixes) >= self.max_prefixes:
+            raise GenerationError(
+                f"prefix table is full ({self.max_prefixes}); raise "
+                f"max_prefixes or drop one workload's prefix")
         ck1, cv1 = self._init_cache1(len(ids))
         _, ck1, cv1 = self.family.forward(
             self.lm.params, self.cfg,
             jnp.asarray([ids], jnp.int32), ck1, cv1, jnp.int32(0))
-        self._prefix_ids = list(ids)
-        self._prefix_kv = (ck1, cv1)    # [L, 1, Hkv, P, D]
+        self._prefixes.append((ids, (ck1, cv1)))   # kv: [L, 1, Hkv, P, D]
         return len(ids)
 
     def _maybe_auto_prefix(self, ids: list) -> None:
-        """Automatic prompt-caching: learn the shared prefix from traffic.
-        The first prompt becomes the candidate; when a later prompt shares
-        >= auto_prefix_min leading tokens with it, that common prefix is
-        materialized ONCE (register_prefix) and every subsequent matching
-        request admits suffix-only. Detection happens a single time so the
-        (prefix_len, bucket) jit-variant space stays fixed."""
-        if self._prefix_ids or not self.auto_prefix_min:
+        """Automatic prompt-caching: learn shared prefixes from traffic.
+        A prompt not covered by any registered prefix becomes the candidate;
+        when a later uncovered prompt shares >= auto_prefix_min leading
+        tokens with it, that common prefix is materialized once and every
+        subsequent matching request admits suffix-only. Learning continues
+        (multi-tenant workloads converge on one prefix per system prompt)
+        until the table holds max_prefixes entries, which bounds the
+        admission jit-variant space."""
+        if not self.auto_prefix_min \
+                or len(self._prefixes) >= self.max_prefixes:
             return
+        if self._match_prefix(ids)[0] >= 0:
+            return                          # already covered by the table
         if self._auto_candidate is None:
             self._auto_candidate = list(ids)
             return
@@ -340,6 +377,7 @@ class ContinuousEngine:
         if m >= self.auto_prefix_min \
                 and m + 1 + self.steps_per_sync < self.T:
             self._register_prefix_ids(ids[:m])
+            self._auto_candidate = None
         else:
             # keep the newer prompt as candidate so a drifting workload can
             # still converge on its current common prefix
@@ -582,22 +620,24 @@ class ContinuousEngine:
             pairs.append((slot_idx, self._queue.pop(0)))
         if not pairs:
             return
-        P = len(self._prefix_ids)
         groups: dict[tuple, list] = {}
         for slot_idx, req in pairs:
             ids = req[1]
-            # shared-prefix hit: token ids start with the registered prefix
-            # and at least one suffix token remains to produce logits
-            m = P if (P and len(ids) > P and ids[:P] == self._prefix_ids) \
-                else 0
+            # shared-prefix hit: token ids start with a registered prefix
+            # and at least one suffix token remains to produce logits.
+            # Waves group by (prefix INDEX, bucket) — two different prefixes
+            # in one wave dispatch separately — while the jitted admission
+            # variant is keyed by (bucket, prefix LENGTH) only, because the
+            # prefix KV is a traced argument.
+            pi, m = self._match_prefix(ids)
             # cap the prefill block at the remaining capacity: an uncapped
             # bucket at pos_start=m would make _cache_write's
             # dynamic_update_slice CLAMP the start index and land the
             # suffix K/V at shifted positions — silent corruption
             groups.setdefault(
-                (m, seq_bucket(len(ids) - m, self.T - m)), []).append(
+                (pi, m, seq_bucket(len(ids) - m, self.T - m)), []).append(
                 (slot_idx, req))
-        for (m, bucket), grp in groups.items():
+        for (pi, m, bucket), grp in groups.items():
             n = len(grp)
             self.stats["admission_waves"] += 1
             if m:
@@ -644,7 +684,7 @@ class ContinuousEngine:
                 tk_n[j] = tk_n[0]
                 ng_n[j] = ng_n[0]
                 keys0.append(keys0[0])
-            extra = {"prefix_kv": self._prefix_kv} if m else {}
+            extra = {"prefix_kv": self._prefixes[pi][1]} if m else {}
             (self.cache_k, self.cache_v, self._last_tok, self._keys,
              self._hist, self._hist_len, self._temp, self._top_k,
              self._top_p, self._min_p, self._penalty, self._ngram_on) = \

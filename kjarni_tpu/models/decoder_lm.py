@@ -537,9 +537,29 @@ class DecoderLM:
 
         v_sample = jax.vmap(sample_row)
 
-        @jax.jit
-        def prefill_b(params, ck, cv, ids, positions, pad_mask):
-            logits, ck, cv = fwd(params, cfg, ids, ck, cv, 0,
+        @partial(jax.jit, donate_argnums=(1, 2),
+                 static_argnames=("pos_start",))
+        def prefill_b(params, ck, cv, ids, positions, pad_mask,
+                      prefix_kv=None, pos_start=0):
+            # pos_start > 0 = shared-prefix reuse: the batch's common prompt
+            # prefix was prefilled ONCE at B=1 (prefix_kv, possibly padded
+            # past the true length); broadcast its first pos_start positions
+            # into every row's cache, then prefill only the suffix block.
+            # Tree-mapped: the int8 dict cache's "s" leaf drops the trailing
+            # D axis but keeps the position axis at index 3.
+            if pos_start:
+                pk, pv = prefix_kv
+
+                def bcast(dst, src):
+                    src = jax.lax.slice_in_dim(src, 0, pos_start, axis=3)
+                    bshape = (src.shape[0], dst.shape[1]) + src.shape[2:]
+                    return jax.lax.dynamic_update_slice(
+                        dst, jnp.broadcast_to(src, bshape).astype(dst.dtype),
+                        (0,) * dst.ndim)
+
+                ck = jax.tree.map(bcast, ck, pk)
+                cv = jax.tree.map(bcast, cv, pv)
+            logits, ck, cv = fwd(params, cfg, ids, ck, cv, pos_start,
                                  ids.shape[1] - 1, positions=positions,
                                  pad_mask=pad_mask)
             return logits, ck, cv  # [B, V]
@@ -599,6 +619,49 @@ class DecoderLM:
         self._steps[key] = fns
         return fns
 
+    def _shared_batch_prefix(self, ids_list: list) -> int:
+        """Longest token prefix COMMON to every row (each row must keep at
+        least one suffix token); 0 when too short to pay for the extra
+        broadcast + compile variant."""
+        if len(ids_list) < 2:
+            return 0
+        first = ids_list[0]
+        limit = min(len(r) for r in ids_list) - 1
+        p = 0
+        while p < limit and all(r[p] == first[p] for r in ids_list):
+            p += 1
+        return p if p >= self._min_reuse_prefix else 0
+
+    def _prefix_fill(self, ids_p: list):
+        """Prefill a shared prompt prefix ONCE at B=1 (padded to its seq
+        bucket; end-padding garbage cannot affect earlier positions' K/V
+        under causal attention) and return the KV for broadcast into a
+        batch cache (generate_batch shared-prefix reuse)."""
+        pb = seq_bucket(len(ids_p), self.max_context)
+        fn = self._steps.get(("prefix_fill", pb))
+        if fn is None:
+            cfg = self.config
+            fwd = self.family.forward
+            quant = self._kv_quantized
+            cdt = self._cache_dtype
+            fam = self.family
+
+            @jax.jit
+            def fill(params, ids1):
+                if quant:
+                    ck1, cv1 = kllama.init_cache(cfg, 1, pb, cdt,
+                                                 quantized=True)
+                else:
+                    ck1, cv1 = fam.init_cache(cfg, 1, pb, cdt)
+                _, ck1, cv1 = fwd(params, cfg, ids1, ck1, cv1, 0,
+                                  ids1.shape[1] - 1)
+                return ck1, cv1
+
+            fn = self._steps[("prefix_fill", pb)] = fill
+        arr = np.zeros((1, pb), np.int32)
+        arr[0, :len(ids_p)] = ids_p
+        return fn(self.params, jnp.asarray(arr))
+
     def generate_batch(self, prompts: Sequence[str], *,
                        config: Optional[GenerationConfig] = None) -> list[str]:
         """Batched generation over ragged prompts (left-padded).
@@ -606,6 +669,12 @@ class DecoderLM:
         Decode is weight-bandwidth-bound, so B sequences decode at nearly the
         cost of one — the aggregate-throughput path for serving. Greedy output
         per row equals the unbatched generate() for the same prompt.
+
+        Rows sharing a leading token prefix (>= _min_reuse_prefix tokens,
+        e.g. a system prompt under serve_batching) prefill it ONCE at B=1
+        and broadcast the KV into every row — batch prefill then computes
+        only the per-row suffixes (the batched analogue of the continuous
+        engine's register_prefix and the single-stream _prefill_with_reuse).
         """
         gen = config or GenerationConfig()
         if not prompts:
@@ -614,10 +683,16 @@ class DecoderLM:
                     for p in prompts]
         B = len(ids_list)
         max_len = max(len(i) for i in ids_list)
-        bucket = seq_bucket(max_len, self.max_context)
+        # shared-prefix reuse: suffix geometry shifts right by P cache slots
+        P = self._shared_batch_prefix(ids_list)
+        self._batch_prefix_len = P    # diagnostic (tests/bench introspection)
+        sfx_list = [row[P:] for row in ids_list]
+        bucket = seq_bucket(max(len(s) for s in sfx_list),
+                            self.max_context - P)
         max_new = gen.max_new_tokens if gen.max_new_tokens is not None else \
             max(gen.max_length - max_len, 0)
-        max_steps = int(max(min(max_new, self.max_context - bucket - 1), 0))
+        max_steps = int(max(min(max_new, self.max_context - P - bucket - 1),
+                            0))
         if max_steps == 0:
             return ["" for _ in prompts]
         # right-size the per-call cache: the layer scan restacks the whole
@@ -626,16 +701,17 @@ class DecoderLM:
         # HBM traffic; this cache never outlives the call, so it only needs
         # prompt + generation, rounded to 256 for compile-key stability
         T_b = min(self.max_context,
-                  -(-(bucket + max_steps + 1) // 256) * 256)
+                  -(-(P + bucket + max_steps + 1) // 256) * 256)
         ids = np.zeros((B, bucket), dtype=np.int32)
         positions = np.zeros((B, bucket), dtype=np.int32)
         pad_mask = np.zeros((B, T_b), dtype=np.int32)
-        for r, row in enumerate(ids_list):
+        pad_mask[:, :P] = 1       # shared-prefix slots are real for all rows
+        for r, row in enumerate(sfx_list):
             pad = bucket - len(row)
             ids[r, pad:] = row
-            positions[r, pad:] = np.arange(len(row))
-            pad_mask[r, pad:bucket] = 1
-        pad_mask[:, bucket:] = 1  # decode slots are always real
+            positions[r, pad:] = P + np.arange(len(row))
+            pad_mask[r, P + pad:P + bucket] = 1
+        pad_mask[:, P + bucket:] = 1  # decode slots are always real
 
         prefill_b, decode_b = self._batch_fns(gen, B)
         # kv_cache="int8" pays exactly here: at B=1 the stream is weight-
@@ -651,9 +727,11 @@ class DecoderLM:
         if self._mesh is not None:
             from ..parallel.mesh import shard_cache
             ck, cv = shard_cache((ck, cv), self._mesh)
+        prefix_kv = self._prefix_fill(ids_list[0][:P]) if P else None
         logits, ck, cv = prefill_b(self.params, ck, cv, jnp.asarray(ids),
                                    jnp.asarray(positions),
-                                   jnp.asarray(pad_mask))
+                                   jnp.asarray(pad_mask),
+                                   prefix_kv, pos_start=P)
         history = np.zeros((B, self.max_context), dtype=np.int32)
         for r, row in enumerate(ids_list):
             history[r, :len(row)] = row
@@ -672,14 +750,15 @@ class DecoderLM:
         done = jnp.zeros((B,), jnp.bool_)
         chunks = []
         i0 = 0
+        slot0 = P + bucket       # first decode write slot (after prefix+sfx)
         while i0 < max_steps:
-            kb = -(-(bucket + i0 + 1) // KB_STEP) * KB_STEP
+            kb = -(-(slot0 + i0 + 1) // KB_STEP) * KB_STEP
             if kb >= T_b:
                 kb = None        # bucket would cover the whole cache
             seg = min(max_steps - i0,
-                      (kb - (bucket + i0)) if kb is not None else KB_STEP)
+                      (kb - (slot0 + i0)) if kb is not None else KB_STEP)
             seg_out, done, logits, ck, cv, history_d, rng = decode_b(
-                self.params, ck, cv, logits, history_d, jnp.int32(bucket),
+                self.params, ck, cv, logits, history_d, jnp.int32(slot0),
                 lens0, pad_mask_d, rng, done, jnp.int32(i0), jnp.int32(seg),
                 max_steps=int(KB_STEP), kv_bucket=kb)
             chunks.append(np.asarray(seg_out[:, :seg]))

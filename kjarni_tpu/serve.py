@@ -47,7 +47,7 @@ class _Engine:
                  request_timeout_s: float | None = None,
                  tp: int | None = None, dp: int | None = None,
                  steps_per_sync: int = 16,
-                 prompt_prefix: str | None = None,
+                 prompt_prefix: str | list | None = None,
                  kv_cache: str | None = None):
         if scheduler not in ("batch", "continuous"):
             raise KjarniError(f"unknown scheduler '{scheduler}' "
@@ -447,7 +447,7 @@ def serve(host: str = "127.0.0.1", port: int = 8000,
           request_timeout_s: float | None = None,
           tp: int | None = None, dp: int | None = None,
           steps_per_sync: int = 16,
-          prompt_prefix: str | None = None,
+          prompt_prefix: str | list | None = None,
           kv_cache: str | None = None) -> ThreadingHTTPServer:
     engine = _Engine(default_models, max_batch=max_batch,
                      batch_window_ms=batch_window_ms, scheduler=scheduler,
@@ -492,10 +492,12 @@ def main(argv=None) -> int:
                     help="continuous scheduler: max decode iterations fused "
                          "per host dispatch (the window adapts down to the "
                          "least-loaded slot's outstanding tokens)")
-    ap.add_argument("--prompt-prefix", default=None,
+    ap.add_argument("--prompt-prefix", default=None, action="append",
                     help="continuous scheduler: prefill this shared prompt "
                          "prefix once and reuse its KV for every request "
-                         "that starts with it (prompt caching)")
+                         "that starts with it (prompt caching); repeat the "
+                         "flag to cache several prefixes (e.g. one per "
+                         "tenant's system prompt)")
     ap.add_argument("--draft-model",
                     help="speculative-decoding draft model for /v1/generate")
     ap.add_argument("--device-timeout", type=float, default=None,

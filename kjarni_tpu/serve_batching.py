@@ -146,14 +146,18 @@ class ContinuousRunner:
     """
 
     def __init__(self, lm, *, slots: int = 8, steps_per_sync: int = 16,
-                 cached_prefix: Optional[str] = None):
+                 cached_prefix: Optional[str | list] = None):
         from .generate.continuous import ContinuousEngine
         self._engine = ContinuousEngine(lm, slots=slots,
                                         steps_per_sync=steps_per_sync)
         if cached_prefix:
-            # shared-prefix prompt cache: prompts starting with this text's
-            # tokens skip recomputing them at admission
-            self._engine.register_prefix(cached_prefix)
+            # shared-prefix prompt cache: prompts starting with any of these
+            # texts' tokens skip recomputing them at admission (one entry
+            # per system prompt for multi-tenant serving)
+            prefixes = ([cached_prefix] if isinstance(cached_prefix, str)
+                        else list(cached_prefix))
+            for p in prefixes:
+                self._engine.register_prefix(p)
         self._cv = threading.Condition()
         self._incoming: list[_Request] = []
         self._by_rid: dict[int, _Request] = {}

@@ -615,3 +615,100 @@ class TestContinuousInt8Kv:
         save_torch_model(d, GPT2LMHeadModel(config).eval(), config)
         with pytest.raises(InvalidConfigError, match="llama-family"):
             DecoderLM(d, max_context=64, kv_cache="int8")
+
+
+class TestMultiPrefixCache:
+    """The prefix table (VERDICT r4 item 5): several registered prefixes —
+    e.g. one per tenant's system prompt — all hit, waves group by matched
+    prefix, and the admission jit-variant space stays bounded by
+    (suffix bucket, prefix length)."""
+
+    P1 = "hello world the"
+    P2 = "data is safe with"
+
+    def test_two_prefixes_both_hit(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=4)
+        assert eng.register_prefix(self.P1) > 0
+        assert eng.register_prefix(self.P2) > 0
+        prompts = [self.P1 + " doctor went", self.P2 + " mondays",
+                   self.P1 + " physician", self.P2 + " doctor"]
+        rids = {eng.submit(p, max_new_tokens=6, defer_admit=True): p
+                for p in prompts}
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert eng.stats["prefix_hits"] == 4     # every request hit ITS prefix
+        for rid, prompt in rids.items():
+            assert done[rid].token_ids == reference_tokens(lm, prompt, 6), \
+                prompt
+
+    def test_equal_length_prefixes_share_jit_variant(self, lm):
+        """Two prefixes of the same token length share one compiled
+        admission variant: the prefix KV is a traced argument."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2)
+        n1 = eng.register_prefix(self.P1)
+        n2 = eng.register_prefix("data is safe")
+        assert n1 == n2, "fixture drifted: prefixes no longer equal length"
+        eng.submit(self.P1 + " doctor went", max_new_tokens=4)
+        eng.submit("data is safe mondays are", max_new_tokens=4)
+        eng.run()
+        hit_variants = [k for k in eng._prefill_cache if k[1] > 0]
+        assert len(hit_variants) == 1, hit_variants
+
+    def test_longest_matching_prefix_wins(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2)
+        short = eng.register_prefix("hello world")
+        long = eng.register_prefix("hello world the doctor went")
+        assert long > short
+        ids = lm.encode_prompt("hello world the doctor went to", add_bos=True)
+        pi, m = eng._match_prefix(ids)
+        assert m == long
+        rid = eng.submit("hello world the doctor went to", max_new_tokens=6)
+        done = {fr.request_id: fr for fr in eng.run()}
+        assert done[rid].token_ids == reference_tokens(
+            lm, "hello world the doctor went to", 6)
+
+    def test_duplicate_registration_is_idempotent(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2)
+        eng.register_prefix(self.P1)
+        eng.register_prefix(self.P1)
+        assert len(eng._prefixes) == 1
+
+    def test_table_cap_rejects_explicit_overflow(self, lm):
+        from kjarni_tpu.core.errors import GenerationError
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        eng = ContinuousEngine(lm, slots=2, max_prefixes=1)
+        eng.register_prefix(self.P1)
+        with pytest.raises(GenerationError, match="prefix table is full"):
+            eng.register_prefix(self.P2)
+
+    def test_auto_learns_second_prefix(self, lm):
+        """Auto-detection keeps learning after the first registration:
+        a second family of prompts converges on its own table entry."""
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        base_a = " ".join(["hello world the doctor went"] * 7)
+        base_b = " ".join(["data is safe with mondays"] * 7)
+        eng = ContinuousEngine(lm, slots=2, auto_prefix_min=16)
+        pa = [base_a + " data", base_a + " mondays"]
+        pb = [base_b + " hello", base_b + " doctor"]
+        rids = {}
+        for p in (pa[0], pa[1], pb[0], pb[1]):
+            rids[eng.submit(p, max_new_tokens=4)] = p
+        assert len(eng._prefixes) == 2
+        done = {fr.request_id: fr for fr in eng.run()}
+        for rid, p in rids.items():
+            assert done[rid].token_ids == reference_tokens(lm, p, 4), p
+
+    def test_auto_stops_at_cap(self, lm):
+        from kjarni_tpu.generate.continuous import ContinuousEngine
+        base_a = " ".join(["hello world the doctor went"] * 7)
+        base_b = " ".join(["data is safe with mondays"] * 7)
+        eng = ContinuousEngine(lm, slots=2, auto_prefix_min=16,
+                               max_prefixes=1)
+        for p in (base_a + " data", base_a + " mondays",
+                  base_b + " hello", base_b + " doctor"):
+            eng.submit(p, max_new_tokens=3)
+        assert len(eng._prefixes) == 1      # capped: family B not learned
+        eng.run()

@@ -558,3 +558,79 @@ class TestKvBucketedInt8Cache:
         lm._kv_bucket_step = 16
         got = lm.generate("hello world the doctor", config=cfg)
         assert got == expected
+
+
+class TestBatchPrefixReuse:
+    """generate_batch shared-prefix reuse (VERDICT r4 item 6): a batch whose
+    rows share >= _min_reuse_prefix leading tokens prefills the prefix ONCE
+    at B=1, broadcasts the KV into every row, and batch-prefills only the
+    suffixes. Output must equal the reuse-disabled path."""
+
+    SYS = " ".join(["the doctor and the physician went"] * 3)  # ~19 tokens
+
+    def _prompts(self):
+        return [self.SYS + " hello world", self.SYS + " keeping data",
+                self.SYS + " mondays are great"]
+
+    def test_prefix_reuse_matches_disabled(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=96)
+        lm = DecoderLM(d, max_context=96)
+        base = DecoderLM(d, max_context=96)
+        base._min_reuse_prefix = 10**9            # force the plain path
+        expected = base.generate_batch(self._prompts(), config=cfg)
+        assert base._batch_prefix_len == 0
+        got = lm.generate_batch(self._prompts(), config=cfg)
+        assert lm._batch_prefix_len >= 16          # reuse actually engaged
+        assert got == expected
+
+    def test_prefix_reuse_matches_singles(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=6, max_length=96)
+        lm = DecoderLM(d, max_context=96)
+        got = lm.generate_batch(self._prompts(), config=cfg)
+        assert lm._batch_prefix_len >= 16
+        singles = [lm.generate(p, config=cfg) for p in self._prompts()]
+        assert got == singles
+
+    def test_short_common_prefix_stays_plain(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=4, max_length=64)
+        lm = DecoderLM(d, max_context=64)
+        lm.generate_batch(["hello world the", "hello doctor"], config=cfg)
+        assert lm._batch_prefix_len == 0           # below _min_reuse_prefix
+
+    def test_identical_prompts_keep_one_suffix_token(self, llama_dir):
+        """All-identical rows: the common prefix must leave >= 1 suffix
+        token per row so the batch prefill has a query to produce logits."""
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=5, max_length=96)
+        lm = DecoderLM(d, max_context=96)
+        prompts = [self.SYS, self.SYS]
+        got = lm.generate_batch(prompts, config=cfg)
+        ids = lm.encode_prompt(self.SYS, True)
+        assert lm._batch_prefix_len == len(ids) - 1
+        assert got == [lm.generate(self.SYS, config=cfg)] * 2
+
+    def test_prefix_reuse_int8_kv(self, llama_dir):
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=6, max_length=96)
+        lm = DecoderLM(d, dtype="f32", max_context=96, kv_cache="int8")
+        base = DecoderLM(d, dtype="f32", max_context=96, kv_cache="int8")
+        base._min_reuse_prefix = 10**9
+        expected = base.generate_batch(self._prompts(), config=cfg)
+        got = lm.generate_batch(self._prompts(), config=cfg)
+        assert lm._batch_prefix_len >= 16
+        assert got == expected
+
+    def test_prefix_reuse_with_penalties(self, llama_dir):
+        """History/penalty state is full-prompt-based, independent of the
+        cache-slot shift the prefix introduces."""
+        d, _ = llama_dir
+        cfg = GenerationConfig.greedy(max_new_tokens=8, max_length=96,
+                                      repetition_penalty=1.3)
+        lm = DecoderLM(d, max_context=96)
+        base = DecoderLM(d, max_context=96)
+        base._min_reuse_prefix = 10**9
+        assert lm.generate_batch(self._prompts(), config=cfg) == \
+            base.generate_batch(self._prompts(), config=cfg)
