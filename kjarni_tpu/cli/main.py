@@ -344,9 +344,11 @@ def cmd_export_browser(args) -> int:
     from ..tasks.common import DownloadPolicy, resolve_model_dir
     model_dir, _ = resolve_model_dir(args.model, None, DownloadPolicy.ALLOW,
                                      args.quiet)
-    manifest = export_browser_model(model_dir, args.out)
+    manifest = export_browser_model(model_dir, args.out,
+                                    quantize=getattr(args, "quantize", None))
     info = {"out": args.out, "tensors": len(manifest["tensors"]),
-            "weights_bytes": manifest["weights_bytes"]}
+            "weights_bytes": manifest["weights_bytes"],
+            "quantize": manifest.get("quantize")}
     if getattr(args, "selftest", False):
         from ..export.browser import selftest_bundle
         info["selftest"] = selftest_bundle(args.out)
@@ -557,6 +559,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--selftest", action="store_true",
                     help="after exporting, execute web/kjarni.js against "
                          "the bundle via the in-tree jsvm interpreter")
+    sp.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8 per-channel weights (~4x smaller bundle; "
+                         "the JS engine dequantizes in the matmul loop, "
+                         "mirroring the reference's q8 browser models)")
     sp.add_argument("--format", choices=["text", "json"], default="text")
     sp.add_argument("--quiet", "-q", action="store_true")
     sp.add_argument("--verbose", "-v", action="count", default=0)

@@ -11,9 +11,17 @@ and an in-memory index (the kjarni-wasm Model / WasmIndexBuilder / WasmSearch
 surface). No build toolchain is needed on either side: `kjarni export-browser
 <model> -o dist/` then serve dist/ + web/ as static files.
 
-Format: weights.bin is the concatenation of little-endian float32 tensors;
+Format: weights.bin is the concatenation of little-endian tensors;
 manifest.json carries the encoder config and per-tensor {name, shape,
-offset (bytes), size (elements)} records.
+offset (bytes), size (elements), dtype} records. dtype is "f32" (default)
+or "q8" — int8 per-output-channel quantized (mirrors the reference's
+quantized browser bundles, crates/kjarni-wasm/src/lib.rs:1064
+from_quantized_bytes; the search widget defaults to a q8 model,
+kjarni-search.js:14). A q8 record's int8 payload sits at `offset` and its
+float32 scales at `scale_offset` (`scale_size` elements): for a stacked
+[L, K, N] matmul weight the scales are per (layer, output-channel) [L, N];
+the JS engine dequantizes in the matmul inner loop. Quantized bundles are
+~4x smaller over the wire — the reason the reference ships q8 to browsers.
 """
 
 from __future__ import annotations
@@ -41,16 +49,75 @@ def _flatten(prefix: str, tree) -> list[tuple[str, np.ndarray]]:
     return out
 
 
+# minimum element count for a tensor to be worth quantizing (tests shrink
+# this to exercise q8 on tiny fixtures)
+Q8_MIN_SIZE = 65536
+
+
+def _quantizable(name: str, arr: np.ndarray) -> bool:
+    """int8-quantize the large matmul weights and token-embedding tables;
+    keep norms, biases, and the small positional/type tables exact."""
+    if arr.ndim < 2 or arr.size < Q8_MIN_SIZE:
+        return False
+    low = name.lower()
+    if any(s in low for s in ("norm", "bias", "position", "token_type",
+                              "wpe", "pooler")):
+        return False
+    if low.endswith((".b", "_b")):
+        return False
+    return True
+
+
+def _quantize_q8(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8: treat the tensor as
+    [..., K, N] and scale per [..., N] (reduce over the contraction axis K;
+    for embedding tables the 'channel' is the hidden dim, so lookups
+    dequantize with one scale vector)."""
+    red_axis = arr.ndim - 2
+    scale = np.maximum(np.abs(arr).max(axis=red_axis), 1e-12) / 127.0
+    q = np.clip(np.round(arr / np.expand_dims(scale, red_axis)),
+                -127, 127).astype(np.int8)
+    return q, scale.astype("<f4")
+
+
 def _write_bundle(out_dir: Path, model_dir: Path, kind: str, config: dict,
-                  params: dict) -> dict:
+                  params: dict, quantize: str | None = None) -> dict:
+    if quantize not in (None, "int8"):
+        raise InvalidConfigError(
+            f"unknown browser quantize mode '{quantize}' (expected 'int8')")
     tensors = _flatten("", params)
     records = []
     offset = 0
     blobs = []
+
+    def pad4():
+        # keep every record 4-byte aligned: Float32Array views on the
+        # ArrayBuffer require byteOffset % 4 == 0
+        nonlocal offset
+        rem = offset % 4
+        if rem:
+            blobs.append(b"\x00" * (4 - rem))
+            offset += 4 - rem
+
     for name, arr in tensors:
+        if quantize == "int8" and _quantizable(name, arr):
+            q, scale = _quantize_q8(arr)
+            q = np.ascontiguousarray(q)
+            rec = {"name": name, "shape": list(arr.shape),
+                   "offset": offset, "size": int(q.size), "dtype": "q8"}
+            offset += q.nbytes
+            blobs.append(q.tobytes())
+            pad4()
+            rec["scale_offset"] = offset
+            rec["scale_size"] = int(scale.size)
+            offset += scale.nbytes
+            blobs.append(np.ascontiguousarray(scale).tobytes())
+            records.append(rec)
+            continue
         arr = np.ascontiguousarray(arr, dtype="<f4")
         records.append({"name": name, "shape": list(arr.shape),
-                        "offset": offset, "size": int(arr.size)})
+                        "offset": offset, "size": int(arr.size),
+                        "dtype": "f32"})
         offset += arr.nbytes
         blobs.append(arr.tobytes())
 
@@ -60,6 +127,7 @@ def _write_bundle(out_dir: Path, model_dir: Path, kind: str, config: dict,
         "config": config,
         "tensors": records,
         "weights_bytes": offset,
+        "quantize": quantize,
     }
     (out_dir / "manifest.json").write_text(json.dumps(manifest))
     with open(out_dir / "weights.bin", "wb") as f:
@@ -71,7 +139,8 @@ def _write_bundle(out_dir: Path, model_dir: Path, kind: str, config: dict,
     return manifest
 
 
-def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
+def export_browser_model(model_dir: Path, out_dir: Path,
+                         quantize: str | None = None) -> dict:
     """Export a BERT-family encoder OR a GPT-2 decoder to a browser bundle.
 
     Returns the manifest dict. Encoders drive KjarniModel (embeddings/index,
@@ -100,7 +169,8 @@ def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
             "eos_token_id": (cfg.eos_token_ids[0]
                              if cfg.eos_token_ids else None),
         }
-        return _write_bundle(out_dir, model_dir, "gpt2", config, params)
+        return _write_bundle(out_dir, model_dir, "gpt2", config, params,
+                             quantize)
 
     cfg = kbert.BertConfig.from_hf(hf_cfg)
     if cfg.flavor not in ("bert", "distilbert", "roberta", "mpnet"):
@@ -127,7 +197,8 @@ def export_browser_model(model_dir: Path, out_dir: Path) -> dict:
         "activation": cfg.activation,
         "position_offset": cfg.position_offset,
     }
-    return _write_bundle(out_dir, model_dir, "encoder", config, params)
+    return _write_bundle(out_dir, model_dir, "encoder", config, params,
+                         quantize)
 
 
 def selftest_bundle(out_dir: Path) -> dict:
@@ -193,7 +264,16 @@ def load_browser_bundle(out_dir: Path) -> tuple[dict, dict]:
     raw = (out_dir / "weights.bin").read_bytes()
     tensors = {}
     for rec in manifest["tensors"]:
-        a = np.frombuffer(raw, dtype="<f4", count=rec["size"],
-                          offset=rec["offset"])
-        tensors[rec["name"]] = a.reshape(rec["shape"])
+        if rec.get("dtype") == "q8":
+            q = np.frombuffer(raw, dtype=np.int8, count=rec["size"],
+                              offset=rec["offset"]).reshape(rec["shape"])
+            s = np.frombuffer(raw, dtype="<f4", count=rec["scale_size"],
+                              offset=rec["scale_offset"])
+            s = s.reshape(rec["shape"][:-2] + rec["shape"][-1:])
+            tensors[rec["name"]] = (q.astype(np.float32)
+                                    * np.expand_dims(s, -2))
+        else:
+            a = np.frombuffer(raw, dtype="<f4", count=rec["size"],
+                              offset=rec["offset"])
+            tensors[rec["name"]] = a.reshape(rec["shape"])
     return manifest, tensors

@@ -183,3 +183,110 @@ class TestSelftest:
         assert rc == 0
         info = json.loads(capsys.readouterr().out)
         assert info["selftest"]["engine"] == "jsvm"
+
+
+class TestQuantizedBundle:
+    """int8 browser bundle (VERDICT r4 item 4, mirroring the reference's q8
+    WASM models, kjarni-wasm/src/lib.rs:1064): ~4x smaller weights; the
+    SHIPPED web/kjarni.js dequantizes in the matmul inner loop. Executed
+    for real via jsvm against both bundle flavors."""
+
+    @pytest.fixture(scope="class")
+    def q8_pair(self, tmp_path_factory, monkeypatch_module=None):
+        import kjarni_tpu.export.browser as browser
+        model_dir = tmp_path_factory.mktemp("q8_model")
+        tiny_bert_dir(model_dir, seed=5)
+        f32_out = tmp_path_factory.mktemp("q8_dist_f32")
+        q8_out = tmp_path_factory.mktemp("q8_dist_q8")
+        export_browser_model(model_dir, f32_out)
+        old = browser.Q8_MIN_SIZE
+        browser.Q8_MIN_SIZE = 512      # tiny fixture tensors must quantize
+        try:
+            manifest = export_browser_model(model_dir, q8_out,
+                                            quantize="int8")
+        finally:
+            browser.Q8_MIN_SIZE = old
+        return model_dir, f32_out, q8_out, manifest
+
+    def test_bundle_shrinks_and_flags_q8(self, q8_pair):
+        _, f32_out, q8_out, manifest = q8_pair
+        assert manifest["quantize"] == "int8"
+        kinds = {r["name"]: r.get("dtype") for r in manifest["tensors"]}
+        assert kinds["embeddings.word"] == "q8"
+        assert kinds["layers.q.w"] == "q8"
+        assert kinds["embeddings.norm.weight"] == "f32"
+        f32_sz = (f32_out / "weights.bin").stat().st_size
+        q8_sz = (q8_out / "weights.bin").stat().st_size
+        # the tiny fixture's norm/bias share is large; real models hit ~4x
+        assert q8_sz < f32_sz * 0.45
+
+    def test_q8_scale_offsets_are_aligned(self, q8_pair):
+        _, _, _, manifest = q8_pair
+        for rec in manifest["tensors"]:
+            assert rec["offset"] % 4 == 0 or rec.get("dtype") == "q8"
+            if rec.get("dtype") == "q8":
+                assert rec["scale_offset"] % 4 == 0
+
+    def test_jsvm_embed_cosine_vs_f32_bundle(self, q8_pair):
+        _, f32_out, q8_out, _ = q8_pair
+        i_f32, _, m_f32 = _load_model(f32_out, "KjarniModel")
+        i_q8, _, m_q8 = _load_model(q8_out, "KjarniModel")
+        for text in ("the doctor went to work",
+                     "hello world data is safe"):
+            a = np.asarray(i_f32.call_method(m_f32, "embed", text))
+            b = np.asarray(i_q8.call_method(m_q8, "embed", text))
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos >= 0.999, (text, cos)
+
+    def test_dequant_oracle_matches_manifest(self, q8_pair):
+        from kjarni_tpu.export.browser import load_browser_bundle
+        model_dir, f32_out, q8_out, _ = q8_pair
+        _, t_f32 = load_browser_bundle(f32_out)
+        _, t_q8 = load_browser_bundle(q8_out)
+        w = t_f32["layers.q.w"]
+        wq = t_q8["layers.q.w"]
+        err = np.abs(w - wq).max() / (np.abs(w).max() + 1e-9)
+        assert err < 0.02            # per-channel int8 reconstruction
+
+    def test_selftest_green_on_quantized_bundle(self, q8_pair):
+        _, _, q8_out, _ = q8_pair
+        out = selftest_bundle(q8_out)
+        assert out["kind"] == "encoder"
+        assert abs(out["norm"] - 1.0) < 1e-3
+
+
+class TestQuantizedGptBundle:
+    def test_q8_gpt_token_exact_or_close(self, tmp_path_factory):
+        """Greedy tokens from the q8 KjarniGPT under jsvm vs the JAX
+        DecoderLM: int8 is lossy, so require the FIRST tokens to match
+        (argmax margins dominate early) and all tokens to be valid ids."""
+        import torch
+        import kjarni_tpu.export.browser as browser
+        from transformers import GPT2Config, GPT2LMHeadModel
+        from kjarni_tpu.generate.sampling import GenerationConfig
+        from kjarni_tpu.models.decoder_lm import DecoderLM
+        d = tmp_path_factory.mktemp("q8_gpt")
+        vm = build_word_tokenizer(d / "tokenizer.json", bert_style=False)
+        config = GPT2Config(vocab_size=len(vm), n_embd=32, n_layer=2,
+                            n_head=4, n_positions=64, bos_token_id=2,
+                            eos_token_id=3)
+        torch.manual_seed(17)
+        save_torch_model(d, GPT2LMHeadModel(config).eval(), config)
+        out = tmp_path_factory.mktemp("q8_gpt_dist")
+        old = browser.Q8_MIN_SIZE
+        browser.Q8_MIN_SIZE = 512
+        try:
+            manifest = export_browser_model(d, out, quantize="int8")
+        finally:
+            browser.Q8_MIN_SIZE = old
+        assert any(r.get("dtype") == "q8" for r in manifest["tensors"])
+        lm = DecoderLM(d, max_context=64)
+        cfg = GenerationConfig.greedy(max_new_tokens=6, max_length=64)
+        want = [st.id for st in lm.generate_stream("hello world the",
+                                                   config=cfg)]
+        interp, _, gpt = _load_model(out, "KjarniGPT")
+        text = interp.call_method(gpt, "generate", "hello world the", 6)
+        got_ids = [lm.tokenizer.encode(w, add_special_tokens=False)[0]
+                   for w in text.split()]
+        assert got_ids[:2] == want[:2], (got_ids, want)
+        assert all(0 <= t < lm.config.vocab_size for t in got_ids)

@@ -116,8 +116,76 @@ class KjarniTokenizer {
 // Math helpers (Float32Array)
 // ---------------------------------------------------------------------------
 
-// y[S,N] = x[S,K] @ w[K,N] + b[N]
+/* int8 per-output-channel quantized tensor (bundle dtype "q8"): `q` holds
+ * the int8 payload, `s` one float32 scale per output channel (`n` = last
+ * axis). Counterpart of the reference's quantized browser weights
+ * (kjarni-wasm/src/lib.rs:1064 from_quantized_bytes) — ~4x smaller
+ * download; matmuls dequantize in the inner loop. */
+class Q8Tensor {
+  constructor(q, s, n) {
+    this.q = q;
+    this.s = s;
+    this.n = n;
+    this.length = q.length; // mirror TypedArray.length for layer slicing
+  }
+  // element-range slice aligned to whole scale groups (layer slicing):
+  // for a [L, K, N] payload the scales are [L, N]
+  subarray(a, b) {
+    const perGroup = (this.q.length / this.s.length) * this.n; // = K*N
+    return new Q8Tensor(
+      this.q.subarray(a, b),
+      this.s.subarray((a / perGroup) * this.n, (b / perGroup) * this.n),
+      this.n,
+    );
+  }
+}
+
+function tensorFromRecord(rec, weightsBuf) {
+  if (rec.dtype === "q8") {
+    return new Q8Tensor(
+      new Int8Array(weightsBuf, rec.offset, rec.size),
+      new Float32Array(weightsBuf, rec.scale_offset, rec.scale_size),
+      rec.shape[rec.shape.length - 1],
+    );
+  }
+  return new Float32Array(weightsBuf, rec.offset, rec.size);
+}
+
+// embedding-row gather with optional dequant: out[i] += table[row*H + i]
+function addEmbeddingRow(out, outOff, table, row, H) {
+  if (table instanceof Q8Tensor) {
+    const q = table.q, s = table.s, off = row * H;
+    for (let i = 0; i < H; i++) out[outOff + i] += q[off + i] * s[i];
+  } else {
+    const off = row * H;
+    for (let i = 0; i < H; i++) out[outOff + i] += table[off + i];
+  }
+}
+
+// y[S,N] = x[S,K] @ w[K,N] + b[N]; w may be f32 or Q8Tensor (inner-loop
+// dequant: integer products accumulate per channel, one scale multiply at
+// the end of each output row)
 function matmul(x, S, K, w, N, b) {
+  if (w instanceof Q8Tensor) {
+    const q = w.q, sc = w.s;
+    const y = new Float32Array(S * N);
+    const acc = new Float32Array(N);
+    for (let s = 0; s < S; s++) {
+      acc.fill(0);
+      const xoff = s * K;
+      for (let k = 0; k < K; k++) {
+        const xv = x[xoff + k];
+        if (xv === 0) continue;
+        const woff = k * N;
+        for (let n = 0; n < N; n++) acc[n] += xv * q[woff + n];
+      }
+      const yoff = s * N;
+      for (let n = 0; n < N; n++) {
+        y[yoff + n] = acc[n] * sc[n] + (b ? b[n] : 0);
+      }
+    }
+    return y;
+  }
   const y = new Float32Array(S * N);
   for (let s = 0; s < S; s++) {
     const xoff = s * K;
@@ -194,7 +262,7 @@ class KjarniModel {
     this.cfg = manifest.config;
     this.t = {};
     for (const rec of manifest.tensors) {
-      this.t[rec.name] = new Float32Array(weightsBuf, rec.offset, rec.size);
+      this.t[rec.name] = tensorFromRecord(rec, weightsBuf);
     }
     this.tokenizer = new KjarniTokenizer(tokenizerJson);
   }
@@ -230,9 +298,9 @@ class KjarniModel {
       // roberta-style: positions are cumsum over the (all-real) mask plus
       // pad id, i.e. s + pad + 1 = s + position_offset
       const p = cfg.position_offset > 0 ? s + cfg.position_offset : s;
+      addEmbeddingRow(x, s * H, word, ids[s], H);   // q8-aware gather
       for (let i = 0; i < H; i++) {
-        x[s * H + i] = word[ids[s] * H + i] + pos[p * H + i] +
-          (tt ? tt[i] : 0);
+        x[s * H + i] += pos[p * H + i] + (tt ? tt[i] : 0);
       }
     }
     layerNorm(x, S, H, t["embeddings.norm.weight"], t["embeddings.norm.bias"],
@@ -472,7 +540,7 @@ class KjarniGPT {
     this.cfg = manifest.config;
     this.t = {};
     for (const rec of manifest.tensors) {
-      this.t[rec.name] = new Float32Array(weightsBuf, rec.offset, rec.size);
+      this.t[rec.name] = tensorFromRecord(rec, weightsBuf);
     }
     const model = (tokenizerJson.model || {});
     this.tokenizer = model.type === "BPE"
@@ -517,10 +585,11 @@ class KjarniGPT {
     const past = cache.len;
 
     let x = new Float32Array(S * H);
+    const wpe = t["wpe"];
     for (let s = 0; s < S; s++) {
+      addEmbeddingRow(x, s * H, t["embed"], ids[s], H);  // q8-aware gather
       for (let i = 0; i < H; i++) {
-        x[s * H + i] = t["embed"][ids[s] * H + i] +
-          t["wpe"][(past + s) * H + i];
+        x[s * H + i] += wpe[(past + s) * H + i];
       }
     }
 
@@ -586,15 +655,28 @@ class KjarniGPT {
 
     const lnf = new Float32Array(x.subarray((S - 1) * H, S * H));
     layerNorm(lnf, 1, H, t["lnf_w"], t["lnf_b"], eps);
-    // logits = lnf @ wte^T
+    // logits = lnf @ wte^T; a q8 wte pre-scales lnf once (per-H-channel
+    // scales) so the vocab loop runs over raw int8
     const V = cfg.vocab_size;
     const logits = new Float32Array(V);
     const wte = t["embed"];
-    for (let vIdx = 0; vIdx < V; vIdx++) {
-      let dot = 0;
-      const woff = vIdx * H;
-      for (let i = 0; i < H; i++) dot += lnf[i] * wte[woff + i];
-      logits[vIdx] = dot;
+    if (wte instanceof Q8Tensor) {
+      const lnfS = new Float32Array(H);
+      for (let i = 0; i < H; i++) lnfS[i] = lnf[i] * wte.s[i];
+      const q = wte.q;
+      for (let vIdx = 0; vIdx < V; vIdx++) {
+        let dot = 0;
+        const woff = vIdx * H;
+        for (let i = 0; i < H; i++) dot += lnfS[i] * q[woff + i];
+        logits[vIdx] = dot;
+      }
+    } else {
+      for (let vIdx = 0; vIdx < V; vIdx++) {
+        let dot = 0;
+        const woff = vIdx * H;
+        for (let i = 0; i < H; i++) dot += lnf[i] * wte[woff + i];
+        logits[vIdx] = dot;
+      }
     }
     return logits;
   }
@@ -623,5 +705,5 @@ class KjarniGPT {
 
 if (typeof module !== "undefined" && module.exports) {
   module.exports = { KjarniModel, KjarniIndex, KjarniTokenizer,
-                     KjarniBpeTokenizer, KjarniGPT };
+                     KjarniBpeTokenizer, KjarniGPT, Q8Tensor };
 }
