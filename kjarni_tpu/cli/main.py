@@ -349,6 +349,18 @@ def cmd_export_browser(args) -> int:
     info = {"out": args.out, "tensors": len(manifest["tensors"]),
             "weights_bytes": manifest["weights_bytes"],
             "quantize": manifest.get("quantize")}
+    if getattr(args, "index", None):
+        import shutil
+        from pathlib import Path
+
+        from ..export.browser import export_search_index
+        out = Path(args.out)
+        info["search_index"] = export_search_index(
+            args.index, out / "kjarni-search.json")
+        # make dist/ a self-contained drop-in: engine + widget ride along
+        web = Path(__file__).resolve().parents[2] / "web"
+        for name in ("kjarni.js", "kjarni-search.js"):
+            shutil.copy(web / name, out / name)
     if getattr(args, "selftest", False):
         from ..export.browser import selftest_bundle
         info["selftest"] = selftest_bundle(args.out)
@@ -563,6 +575,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="int8 per-channel weights (~4x smaller bundle; "
                          "the JS engine dequantizes in the matmul loop, "
                          "mirroring the reference's q8 browser models)")
+    sp.add_argument("--index", default=None, metavar="INDEX_DIR",
+                    help="also export an on-disk RAG index (from `kjarni "
+                         "index create`) as kjarni-search.json and copy the "
+                         "kjarni-search.js site-search widget into -o, "
+                         "making it a self-contained drop-in")
     sp.add_argument("--format", choices=["text", "json"], default="text")
     sp.add_argument("--quiet", "-q", action="store_true")
     sp.add_argument("--verbose", "-v", action="count", default=0)

@@ -201,6 +201,35 @@ def export_browser_model(model_dir: Path, out_dir: Path,
                          quantize)
 
 
+def export_search_index(index_dir: Path, out_file: Path,
+                        decimals: int = 5) -> dict:
+    """Export an on-disk RAG index to the search widget's JSON format.
+
+    Counterpart of the reference's browser index blob (the kjarni-search.js
+    widget fetches a prebuilt index next to the model,
+    crates/kjarni-wasm/src/kjarni-search.js:14): every document's text,
+    metadata, and PRECOMPUTED embedding vector, so the widget only embeds
+    the query at search time. Vectors are rounded to `decimals` places —
+    they are L2-normalized, so 5 decimals keeps cosine error < 1e-4 while
+    roughly halving the JSON payload.
+    """
+    from ..rag.index import IndexReader
+
+    reader = IndexReader.open(Path(index_dir))
+    docs = []
+    for seg in reader.segments:
+        emb = np.round(np.asarray(seg.embeddings, dtype=np.float64), decimals)
+        for i, text in enumerate(seg.docs):
+            docs.append({"text": text, "metadata": seg.meta[i],
+                         "vector": emb[i].tolist()})
+    payload = {"dim": reader.dimension, "model": reader.model, "docs": docs}
+    out_file = Path(out_file)
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    out_file.write_text(json.dumps(payload))
+    return {"docs": len(docs), "dim": reader.dimension,
+            "bytes": out_file.stat().st_size}
+
+
 def selftest_bundle(out_dir: Path) -> dict:
     """Execute web/kjarni.js against an exported bundle via the in-tree jsvm.
 

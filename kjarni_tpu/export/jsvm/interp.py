@@ -1030,22 +1030,26 @@ class Interpreter:
         return value
 
     def _ex_call(self, node, env):
+        # spec evaluation order: resolve the callee reference (and GetValue
+        # it) BEFORE evaluating arguments — `f(f = g)` calls the original f
         callee = node[1]
-        args = self._eval_args(node[2], env)
         ck = callee[0]
         if ck == "Member":
             obj = self.eval(callee[1], env)
             fn = self.get_member(obj, callee[2])
+            args = self._eval_args(node[2], env)
             if isinstance(fn, BoundMethod):
                 return self.call(fn.func, fn.this, args)
             return self.call(fn, obj, args)
         if ck == "Index":
             obj = self.eval(callee[1], env)
             fn = self.get_index(obj, self.eval(callee[2], env))
+            args = self._eval_args(node[2], env)
             if isinstance(fn, BoundMethod):
                 return self.call(fn.func, fn.this, args)
             return self.call(fn, obj, args)
         fn = self.eval(callee, env)
+        args = self._eval_args(node[2], env)
         return self.call(fn, UNDEFINED, args)
 
     def _eval_args(self, arg_nodes, env):
@@ -1331,18 +1335,23 @@ class Interpreter:
             "of": NativeFunction("of", lambda i, t, a: JSArray(list(a))),
         }))
 
-        str_ns = JSObject({
-            "fromCharCode": NativeFunction(
-                "fromCharCode",
-                lambda i, t, a: "".join(chr(int(to_number(x)) & 0xFFFF)
-                                        for x in a)),
-            "fromCodePoint": NativeFunction(
-                "fromCodePoint",
-                lambda i, t, a: "".join(chr(int(to_number(x))) for x in a)),
-        })
-        g.define("String", str_ns)
+        # String(x)/Number(x)/Boolean(x) are callable conversion functions
+        # with static props, mirroring Array above
+        g.define("String", NativeFunction(
+            "String", lambda i, t, a: js_str(a[0]) if a else "", props={
+                "fromCharCode": NativeFunction(
+                    "fromCharCode",
+                    lambda i, t, a: "".join(chr(int(to_number(x)) & 0xFFFF)
+                                            for x in a)),
+                "fromCodePoint": NativeFunction(
+                    "fromCodePoint",
+                    lambda i, t, a: "".join(chr(int(to_number(x)))
+                                            for x in a)),
+            }))
+        g.define("Boolean", NativeFunction(
+            "Boolean", lambda i, t, a: truthy(a[0]) if a else False))
 
-        num_ns = JSObject({
+        num_props = {
             "isInteger": NativeFunction(
                 "isInteger", lambda i, t, a: isinstance(a[0], int) or (
                     isinstance(a[0], float) and a[0].is_integer())
@@ -1358,8 +1367,10 @@ class Interpreter:
             "POSITIVE_INFINITY": float("inf"),
             "NEGATIVE_INFINITY": float("-inf"),
             "EPSILON": 2.220446049250313e-16,
-        })
-        g.define("Number", num_ns)
+        }
+        g.define("Number", NativeFunction(
+            "Number", lambda i, t, a: to_number(a[0]) if a else 0,
+            props=num_props))
 
         json_ns = JSObject({
             "parse": NativeFunction(

@@ -136,7 +136,11 @@ class TestJsGate:
         broken = src.replace("class KjarniIndex {", "class KjarniIndex {{", 1)
         with pytest.raises(AssertionError):
             TestJsGate._balance(broken)
-        truncated = src[: len(src) // 2]
+        # cut just after an opening brace past the midpoint: the prefix is
+        # then guaranteed inside an unclosed block (a plain midpoint cut can
+        # land on a balanced boundary as the file grows)
+        cut = src.index("{", len(src) // 2) + 1
+        truncated = src[:cut]
         with pytest.raises(AssertionError):
             TestJsGate._balance(truncated)
 

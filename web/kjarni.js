@@ -403,29 +403,100 @@ class KjarniModel {
 // In-memory index (kjarni-wasm WasmIndexBuilder / WasmSearch)
 // ---------------------------------------------------------------------------
 
+// BM25 tokenization identical to the Python engine (search/bm25.py:19 and
+// the reference kjarni-search/src/bm25.rs): lowercase, split on
+// non-alphanumeric, drop tokens shorter than 2 chars.
+function bm25Tokenize(text) {
+  return text.toLowerCase().split(/[^0-9a-z]+/).filter((t) => t.length >= 2);
+}
+
 class KjarniIndex {
   constructor(model) {
     this.model = model;
     this.docs = [];
     this.vectors = [];
+    // BM25 state (k1=1.2, b=0.75 — same constants as bm25.rs:44)
+    this.bm25 = { inverted: {}, docFreq: {}, docLengths: [], totalLength: 0 };
   }
 
-  add(text, metadata) {
-    this.vectors.push(this.model.embed(text));
+  // `vector` is optional: pass a precomputed embedding (e.g. from an
+  // exported kjarni-search.json) to skip the forward pass at load time.
+  add(text, metadata, vector) {
+    const id = this.docs.length;
+    this.vectors.push(vector ? new Float32Array(vector)
+                             : this.model.embed(text));
     this.docs.push({ text, metadata: metadata || {} });
-    return this.docs.length - 1;
+    const tokens = bm25Tokenize(text);
+    const b = this.bm25;
+    b.docLengths.push(tokens.length);
+    b.totalLength += tokens.length;
+    const counts = {};
+    for (const t of tokens) counts[t] = (counts[t] || 0) + 1;
+    for (const t of Object.keys(counts)) {
+      if (!b.inverted[t]) b.inverted[t] = [];
+      b.inverted[t].push([id, counts[t]]);
+      b.docFreq[t] = (b.docFreq[t] || 0) + 1;
+    }
+    return id;
+  }
+
+  _result(i, score) {
+    return { score, text: this.docs[i].text,
+             metadata: this.docs[i].metadata, id: i };
   }
 
   search(query, topK) {
     const q = this.model.embed(query);
-    const scored = this.vectors.map((v, i) => ({
-      score: cosine(q, v),
-      text: this.docs[i].text,
-      metadata: this.docs[i].metadata,
-      id: i,
-    }));
+    const scored = this.vectors.map((v, i) => this._result(i, cosine(q, v)));
     scored.sort((a, b) => b.score - a.score);
     return scored.slice(0, topK || 10);
+  }
+
+  // BM25 scoring, formula-identical to search/bm25.py:53 (idf =
+  // ln((N - df + 0.5)/(df + 0.5) + 1), tf * (k1+1) / (tf + k1 * lengthNorm))
+  searchKeyword(query, topK) {
+    const N = this.docs.length;
+    if (N === 0) return [];
+    const k1 = 1.2, bp = 0.75;
+    const b = this.bm25;
+    const avg = b.totalLength / N;
+    const scores = {};
+    for (const term of bm25Tokenize(query)) {
+      const postings = b.inverted[term];
+      if (!postings) continue;
+      const df = b.docFreq[term];
+      const idf = Math.log((N - df + 0.5) / (df + 0.5) + 1.0);
+      for (const [docId, tf] of postings) {
+        const lengthNorm = 1.0 - bp + bp * (b.docLengths[docId] / avg);
+        scores[docId] = (scores[docId] || 0) +
+          idf * (tf * (k1 + 1.0)) / (tf + k1 * lengthNorm);
+      }
+    }
+    const out = [];
+    for (const d of Object.keys(scores)) {
+      if (scores[d] > 0) out.push(this._result(Number(d), scores[d]));
+    }
+    out.sort((a, b2) => b2.score - a.score);
+    return out.slice(0, topK || 10);
+  }
+
+  // Reciprocal-rank fusion, k=60 (search/hybrid.py:7, hybrid.rs:3-31):
+  // fuse the keyword and semantic rankings by 1/(60 + rank + 1).
+  searchHybrid(query, topK) {
+    const limit = topK || 10;
+    const kw = this.searchKeyword(query, limit);
+    const sem = this.search(query, limit);
+    const combined = {};
+    for (let r = 0; r < kw.length; r++) {
+      combined[kw[r].id] = (combined[kw[r].id] || 0) + 1.0 / (60.0 + r + 1);
+    }
+    for (let r = 0; r < sem.length; r++) {
+      combined[sem[r].id] = (combined[sem[r].id] || 0) + 1.0 / (60.0 + r + 1);
+    }
+    const out = Object.keys(combined).map(
+      (d) => this._result(Number(d), combined[d]));
+    out.sort((a, b) => b.score - a.score);
+    return out.slice(0, limit);
   }
 }
 
