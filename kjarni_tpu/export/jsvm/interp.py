@@ -391,8 +391,10 @@ def _new_typed(name, interp, args):
         if a0.fmt == fmt:
             out[:] = src
         else:
+            # cross-dtype construction converts per element; int targets
+            # truncate toward zero (JS ToIntegerOrInfinity)
             for i in range(len(src)):
-                out[i] = src[i]
+                out[i] = src[i] if fmt in "fd" else int(src[i])
         return TypedArray(out, fmt, name)
     if isinstance(a0, JSArray):
         n = len(a0.items)
@@ -737,19 +739,36 @@ class Interpreter:
     def _st_for(self, node, env):
         _, init, test, update, body = node
         loop_env = Environment(env)
+        names = []
         if init is not None:
             self.exec_stmt(init, loop_env)
+            # spec 13.7.4.7: `for (let ...)` gets a fresh binding copied per
+            # iteration (before the first test, and again before each
+            # update), so closures made in the body capture that iteration's
+            # value — for(let i...){fns.push(()=>i)} yields 0,1,2 not 3,3,3
+            if init[0] == "VarDecl" and init[1] in ("let", "const"):
+                names = [p[1] for p, _ in init[2] if p[0] == "IdPat"]
+
+        def fresh(prev):
+            nxt = Environment(env)
+            for n in names:
+                nxt.define(n, prev.get(n))
+            return nxt
+
+        cur = fresh(loop_env) if names else loop_env
         ev = self.eval
         ex = self.exec_stmt
-        while test is None or truthy(ev(test, loop_env)):
+        while test is None or truthy(ev(test, cur)):
             try:
-                ex(body, loop_env)
+                ex(body, cur)
             except _Break:
                 break
             except _Continue:
                 pass
+            if names:
+                cur = fresh(cur)
             if update is not None:
-                ev(update, loop_env)
+                ev(update, cur)
         return None
 
     def _iterate(self, value):
@@ -860,6 +879,12 @@ class Interpreter:
 
     def _bind_pattern(self, pat, value, env):
         kind = pat[0]
+        if kind == "DefaultPat":
+            # default expressions see earlier bindings: (a, b = a + 1) => ...
+            if value is UNDEFINED:
+                value = self.eval(pat[2], env)
+            self._bind_pattern(pat[1], value, env)
+            return
         if kind == "IdPat":
             env.define(pat[1], value)
             return
@@ -867,6 +892,8 @@ class Interpreter:
             seq = self._iterate(value) if not isinstance(value, JSArray) \
                 else value.items
             for i, sub in enumerate(pat[1]):
+                if sub is None:          # elision hole: [a,,b]
+                    continue
                 if sub[0] == "RestPat":
                     self._bind_pattern(sub[1], JSArray(list(seq[i:])), env)
                     return
@@ -881,6 +908,9 @@ class Interpreter:
 
     def _bind_params(self, params, args, env):
         for i, pat in enumerate(params):
+            if pat[0] == "RestPat":
+                self._bind_pattern(pat[1], JSArray(list(args[i:])), env)
+                return
             self._bind_pattern(pat, args[i] if i < len(args) else UNDEFINED,
                                env)
 

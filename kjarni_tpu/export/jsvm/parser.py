@@ -169,7 +169,16 @@ class Parser:
                 break
         return ("VarDecl", kind, decls)
 
-    def parse_binding_pattern(self):
+    def parse_binding_pattern(self, allow_default: bool = False):
+        # allow_default: in params and destructuring elements, a trailing
+        # `= expr` is a default value. NOT allowed at a var-decl top level,
+        # where `=` is the initializer (parse_var_decl consumes it).
+        pat = self._parse_binding_base()
+        if allow_default and self.eat("punct", "="):
+            pat = ("DefaultPat", pat, self.parse_assignment())
+        return pat
+
+    def _parse_binding_base(self):
         t = self.peek()
         if t.kind == "ident" or (t.kind == "kw" and t.value in
                                  ("async", "get", "set", "of", "static")):
@@ -179,10 +188,14 @@ class Parser:
             self.next()
             elems = []
             while not self.eat("punct", "]"):
+                if self.at("punct", ","):    # elision hole: [a,,b]
+                    self.next()
+                    elems.append(None)
+                    continue
                 if self.eat("punct", "..."):
                     elems.append(("RestPat", self.parse_binding_pattern()))
                 else:
-                    elems.append(self.parse_binding_pattern())
+                    elems.append(self.parse_binding_pattern(True))
                 if not self.at("punct", "]"):
                     self.expect("punct", ",")
             return ("ArrayPat", elems)
@@ -195,9 +208,13 @@ class Parser:
                     raise JSSyntaxError(
                         f"line {key.line}: bad destructuring key")
                 if self.eat("punct", ":"):
-                    props.append((key.value, self.parse_binding_pattern()))
+                    props.append((key.value,
+                                  self.parse_binding_pattern(True)))
                 else:
-                    props.append((key.value, ("IdPat", key.value)))
+                    pat = ("IdPat", key.value)
+                    if self.eat("punct", "="):
+                        pat = ("DefaultPat", pat, self.parse_assignment())
+                    props.append((key.value, pat))
                 if not self.at("punct", "}"):
                     self.expect("punct", ",")
             return ("ObjectPat", props)
@@ -214,7 +231,10 @@ class Parser:
         self.expect("punct", "(")
         params = []
         while not self.eat("punct", ")"):
-            params.append(self.parse_binding_pattern())
+            if self.eat("punct", "..."):
+                params.append(("RestPat", self.parse_binding_pattern()))
+            else:
+                params.append(self.parse_binding_pattern(True))
             if not self.at("punct", ")"):
                 self.expect("punct", ",")
         return params
