@@ -223,6 +223,7 @@ def bench_decode(quantize=False):
     """Llama-3.2-1B-geometry decode tok/s (fused scan, ctx 2048)."""
     import jax
     import jax.numpy as jnp
+    from kjarni_tpu.generate.sampling import fast_argmax
     from kjarni_tpu.models import llama as kllama
 
     # int4 stores packed two-per-int8-byte ("w4"), so it runs on every
@@ -245,7 +246,7 @@ def bench_decode(quantize=False):
             tok, ck, cv = carry
             logits, ck, cv = kllama.forward(params, cfg, tok[None, None],
                                             ck, cv, pos0 + i)
-            return (jnp.argmax(logits[0]).astype(jnp.int32), ck, cv), ()
+            return (fast_argmax(logits[0]), ck, cv), ()
         (tok, ck, cv), _ = jax.lax.scan(body, (tok0, ck, cv), jnp.arange(N))
         ck = jax.lax.dynamic_update_slice(full_ck, ck, (0, 0, 0, 0, 0))
         cv = jax.lax.dynamic_update_slice(full_cv, cv, (0, 0, 0, 0, 0))

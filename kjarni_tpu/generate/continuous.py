@@ -45,7 +45,8 @@ from ..core.bucketing import seq_bucket
 from ..core.kvcache import slice_working, write_back
 from ..core.errors import GenerationError
 from .sampling import (NEG_INF, SamplingParams, apply_no_repeat_ngram,
-                       apply_repetition_penalty, min_p_filter, top_p_filter)
+                       apply_repetition_penalty, fast_argmax, min_p_filter,
+                       top_p_filter)
 
 _HIST_BUF = 128   # per-slot generated-token history window for penalties
 
@@ -57,7 +58,7 @@ def _sample_slot(logits, key, temp, top_k, top_p, min_p):
     vocab = logits.shape[-1]
 
     def greedy(_):
-        return jnp.argmax(logits).astype(jnp.int32)
+        return fast_argmax(logits)
 
     def sampled(_):
         l = logits
@@ -271,8 +272,7 @@ class ContinuousEngine:
                                        p + i)
                 l = logits[0]
                 if plain:
-                    return (jnp.argmax(l).astype(jnp.int32), ck1, cv1,
-                            key, h, hl)
+                    return (fast_argmax(l), ck1, cv1, key, h, hl)
                 valid = jnp.arange(_HIST_BUF) < hl
                 l = apply_repetition_penalty(l, h, valid, pe)  # pe=1 → no-op
                 if ngram > 1:

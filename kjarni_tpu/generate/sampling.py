@@ -105,6 +105,30 @@ def apply_no_repeat_ngram(logits: jnp.ndarray, tokens: jnp.ndarray,
     return logits + delta
 
 
+def fast_argmax(logits: jnp.ndarray) -> jnp.ndarray:
+    """First-occurrence argmax over the last axis as two plain reductions.
+
+    XLA lowers jnp.argmax to a variadic (value, index)-pair reduction that
+    vectorizes poorly on the TPU VPU — the round-5 decode ablation priced it
+    at ~0.098 ms/tok over the 128k llama vocab (5% of the 1B int8 step), and
+    scripts/argmax_bench.py measured this formulation at 104.6 µs vs
+    jnp.argmax's 130.4 µs on-chip (1.25x, BASELINE.md round 5). The same
+    result is two trivially-vectorizable reductions: a plain max, then a
+    plain int32 min over the indices that achieve it. Tie-breaking matches
+    jnp.argmax exactly (lowest index wins), so greedy decode output is
+    bit-identical (tests/test_sampling.py::TestFastArgmax).
+
+    Accepts [..., V]; reduces the last axis. Requires NaN-free logits
+    (decode logits are finite or NEG_INF/-inf masks); the jnp.minimum guard
+    keeps the result in-range even if that is violated.
+    """
+    v = logits.shape[-1]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    idx = jnp.where(logits == m, jnp.arange(v, dtype=jnp.int32),
+                    jnp.int32(v))
+    return jnp.minimum(jnp.min(idx, axis=-1), v - 1).astype(jnp.int32)
+
+
 def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     """Keep top-k logits, NEG_INF the rest (sampling.rs:145)."""
     if k <= 0 or k >= logits.shape[-1]:
@@ -140,7 +164,7 @@ def sample_token(logits: jnp.ndarray, rng: jax.Array, params: SamplingParams,
                  greedy: bool) -> jnp.ndarray:
     """Full sampling chain (sampling.rs:81 sample_token). logits: [V]."""
     if greedy:
-        return jnp.argmax(logits).astype(jnp.int32)
+        return fast_argmax(logits)
     if params.top_k is not None:
         logits = top_k_filter(logits, params.top_k)
     if params.top_p is not None:

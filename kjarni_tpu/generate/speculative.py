@@ -29,7 +29,7 @@ from ..core.cancellation import CancellationToken
 from ..core.kvcache import slice_working, write_back
 from ..core.errors import GenerationError
 from ..core.stats import GenerationStats
-from .sampling import GenerationConfig
+from .sampling import GenerationConfig, fast_argmax
 from .stream import StreamDecoder, StreamedToken, TokenType
 
 
@@ -81,7 +81,7 @@ class SpeculativeGenerator:
                 tok, ck, cv = carry
                 logits, ck, cv = d_fwd(params, d_cfg, tok[None, None], ck, cv,
                                        pos + i)
-                nxt = jnp.argmax(logits[0, 0]).astype(jnp.int32)
+                nxt = fast_argmax(logits[0, 0])
                 return (nxt, ck, cv), (nxt, logits[0, 0])
             (last, ck, cv), (toks, logits) = jax.lax.scan(
                 body, (cur, ck, cv), jnp.arange(k + 1))
@@ -106,7 +106,7 @@ class SpeculativeGenerator:
 
         @jax.jit
         def verify_greedy(target_logits, draft_tokens):
-            preds = jnp.argmax(target_logits, axis=-1).astype(jnp.int32)  # [k+1]
+            preds = fast_argmax(target_logits)  # [k+1]
             matches = preds[:k] == draft_tokens
             n_acc = jnp.argmin(jnp.concatenate(
                 [matches, jnp.array([False])]).astype(jnp.int32))
@@ -174,7 +174,7 @@ class SpeculativeGenerator:
                     tok, dck, dcv = carry
                     lg, dck, dcv = d_fwd(d_params, d_cfg, tok[None, None],
                                          dck, dcv, pos + i)
-                    nxt = jnp.argmax(lg[0, 0]).astype(jnp.int32)
+                    nxt = fast_argmax(lg[0, 0])
                     return (nxt, dck, dcv), nxt
                 (_, dck, dcv), d_toks_all = jax.lax.scan(
                     d_body, (cur, dck, dcv), jnp.arange(k + 1))
@@ -183,7 +183,7 @@ class SpeculativeGenerator:
                 tokens_in = jnp.concatenate([cur[None], d_toks])
                 t_logits, tck, tcv = t_fwd(t_params, t_cfg, tokens_in[None, :],
                                            tck, tcv, pos)
-                preds = jnp.argmax(t_logits[0], axis=-1).astype(jnp.int32)
+                preds = fast_argmax(t_logits[0])
                 matches = preds[:k] == d_toks
                 n_acc = jnp.argmin(jnp.concatenate(
                     [matches, jnp.array([False])]).astype(jnp.int32))
@@ -261,7 +261,7 @@ class SpeculativeGenerator:
                                      jnp.asarray(padded), prompt_len - 1)
         stats.mark_prefill(prompt_len)
 
-        cur = jnp.argmax(t_logits).astype(jnp.int32)
+        cur = fast_argmax(t_logits)
         pos = prompt_len
         rng = jax.random.PRNGKey(gen.seed if gen.seed is not None
                                  else _random.getrandbits(31))
@@ -373,7 +373,7 @@ class SpeculativeGenerator:
                                              prompt_len - 1)
         _, dck, dcv = draft._prefill(draft.params, dck, dcv,
                                      jnp.asarray(padded), prompt_len - 1)
-        cur = jnp.argmax(t_logits).astype(jnp.int32)
+        cur = fast_argmax(t_logits)
         c = int(cur)
         if c in target.stop_token_ids:
             return ""

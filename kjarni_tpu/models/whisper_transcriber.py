@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..generate.sampling import fast_argmax
+
 from ..audio.mel import MelConfig, log_mel_spectrogram
 from ..core.bucketing import seq_bucket
 from ..tokenizer import KjarniTokenizer
@@ -174,7 +176,7 @@ class WhisperModel:
             logits, sk, sv = kwhisper.decode_step(params, cfg, ids, sk, sv,
                                                   ck, cv, enc_mask, 0)
             last = logits[0, -1]
-            tok = jnp.argmax(jnp.where(allow, last, -jnp.inf)).astype(jnp.int32)
+            tok = fast_argmax(jnp.where(allow, last, -jnp.inf))
             return tok, sk, sv
 
         @partial(jax.jit, donate_argnums=(2, 3))
@@ -182,8 +184,7 @@ class WhisperModel:
             enc_mask = jnp.ones((1, cfg.max_source_positions), jnp.int32)
             logits, sk, sv = kwhisper.decode_step(params, cfg, tok[None, None],
                                                   sk, sv, ck, cv, enc_mask, pos)
-            nxt = jnp.argmax(jnp.where(allow, logits[0, -1], -jnp.inf)
-                             ).astype(jnp.int32)
+            nxt = fast_argmax(jnp.where(allow, logits[0, -1], -jnp.inf))
             return nxt, sk, sv
 
         self._encode_chunk = _encode_chunk
@@ -208,7 +209,7 @@ class WhisperModel:
                 rng, sub = jax.random.split(rng)
                 sampled = jax.random.categorical(
                     sub, masked / jnp.maximum(temperature, 1e-6))
-                greedy = jnp.argmax(masked)
+                greedy = fast_argmax(masked)
                 tok = jnp.where(temperature > 0, sampled, greedy
                                 ).astype(jnp.int32)
                 return tok, masked[tok] - lse, rng
@@ -276,7 +277,7 @@ class WhisperModel:
             def pick(logits):                       # [n, V] -> ([n], [n])
                 masked = jnp.where(allow[None, :],
                                    logits.astype(jnp.float32), -jnp.inf)
-                tok = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+                tok = fast_argmax(masked)
                 lse = jax.nn.logsumexp(masked, axis=-1)
                 lp = jnp.take_along_axis(masked, tok[:, None],
                                          axis=-1)[:, 0] - lse

@@ -38,6 +38,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..generate.sampling import fast_argmax
 from ..models.llama import DecoderConfig
 from ..ops.attention import attention, merge_heads
 from ..ops.masks import NEG_INF
@@ -287,7 +288,7 @@ def pp_generate(params: dict, cfg: DecoderConfig, ids: jnp.ndarray,
         def sample_embed(x_last):
             xn = rms_norm(x_last, final_norm, cfg.rms_norm_eps)
             logits = xn @ lm_head
-            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [b_micro]
+            tok = fast_argmax(logits)  # [b_micro]
             return tok, jnp.take(embed, tok, axis=0)             # [b, hid]
 
         # ---- phase A: GPipe prefill, writing prompt KV into the caches ----

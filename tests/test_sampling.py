@@ -8,9 +8,9 @@ import pytest
 from kjarni_tpu.generate.sampling import (NEG_INF, SamplingParams,
                                           apply_no_repeat_ngram,
                                           apply_repetition_penalty,
-                                          min_p_filter, process_logits,
-                                          sample_token, top_k_filter,
-                                          top_p_filter)
+                                          fast_argmax, min_p_filter,
+                                          process_logits, sample_token,
+                                          top_k_filter, top_p_filter)
 
 
 def arr(*xs):
@@ -112,6 +112,49 @@ class TestNoRepeatNgram:
         tokens = jnp.asarray([0, 1, 2, 3, 0, 0, 0, 0], dtype=jnp.int32)
         out = np.asarray(apply_no_repeat_ngram(logits, tokens, jnp.int32(4), 3))
         assert np.isfinite(out).all()
+
+
+class TestFastArgmax:
+    """fast_argmax must be bit-identical to jnp.argmax (first-occurrence
+    tie-breaking) — it replaces it in the greedy decode hot path."""
+
+    def test_random_vectors_match(self):
+        for i in range(8):
+            x = jax.random.normal(jax.random.PRNGKey(i), (1031,))
+            assert int(fast_argmax(x)) == int(jnp.argmax(x))
+
+    def test_tie_takes_first_occurrence(self):
+        x = arr(1.0, 7.0, 3.0, 7.0, 7.0)
+        assert int(fast_argmax(x)) == int(jnp.argmax(x)) == 1
+
+    def test_all_equal(self):
+        x = jnp.zeros((257,), jnp.float32)
+        assert int(fast_argmax(x)) == 0
+
+    def test_all_neg_inf_mask(self):
+        # a fully-masked logits row (whisper suppress path worst case)
+        x = jnp.full((64,), -jnp.inf, jnp.float32)
+        assert int(fast_argmax(x)) == int(jnp.argmax(x)) == 0
+
+    def test_max_at_last_position(self):
+        x = jnp.arange(513, dtype=jnp.float32)
+        assert int(fast_argmax(x)) == 512
+
+    def test_batched_rows_match(self):
+        x = jax.random.normal(jax.random.PRNGKey(7), (6, 257))
+        got = fast_argmax(x)
+        ref = jnp.argmax(x, axis=-1)
+        assert got.shape == (6,)
+        assert (got == ref).all()
+
+    def test_under_jit_and_quantized_margins(self):
+        # bf16-roundtripped logits produce many exact ties; parity must hold
+        f = jax.jit(lambda v: (fast_argmax(v), jnp.argmax(v)))
+        for i in range(8):
+            x = jax.random.normal(jax.random.PRNGKey(100 + i), (4096,))
+            x = x.astype(jnp.bfloat16).astype(jnp.float32)
+            a, b = f(x)
+            assert int(a) == int(b)
 
 
 class TestSampleToken:
