@@ -143,6 +143,11 @@ def make_variant(cfg, mode):
             # dependency on every logit without the 128k-vocab reduction sort
             return (jnp.sum(logits).astype(jnp.float32) * 0
                     ).astype(jnp.int32) + 1, ck, cv
+        if mode == "fast_argmax":
+            # the shipped two-reduction formulation (sampling.fast_argmax):
+            # same-session A/B vs full's jnp.argmax in the identical step
+            from kjarni_tpu.generate.sampling import fast_argmax
+            return fast_argmax(logits), ck, cv
         return jnp.argmax(logits).astype(jnp.int32), ck, cv
 
     def step_inplace(params, tok, ck, cv, pos):
@@ -274,14 +279,20 @@ def main():
 
     global GEOM_1B, N
     if "--tiny" in sys.argv:     # CPU smoke test of every variant
+        # sitecustomize pins the axon TPU platform; the smoke test must not
+        # queue behind whatever holds the single real chip
+        jax.config.update("jax_platforms", "cpu")
         GEOM_1B = {"vocab_size": 512, "hidden_size": 64, "num_layers": 2,
                    "num_heads": 4, "num_kv_heads": 2, "head_dim": 16,
                    "intermediate_size": 128, "max_seq_len": 2048}
         N = 4
     cfg, params = build()
     results = {}
-    order = ["full", "matmuls_only", "no_argmax", "inplace", "no_lm_head",
-             "no_kv_read", "no_ffn", "no_rope", "no_norms", "product"]
+    order = ["full", "matmuls_only", "no_argmax", "fast_argmax", "inplace",
+             "no_lm_head", "no_kv_read", "no_ffn", "no_rope", "no_norms",
+             "product"]
+    if "--argmax-ab" in sys.argv:   # focused A/B: alternate the two argmax
+        order = ["full", "fast_argmax", "no_argmax"]
     for mode in order:
         fn = make_variant(cfg, mode)
         extra = ()
@@ -295,6 +306,14 @@ def main():
                           "delta_vs_full_ms": round(delta, 3)}),
               flush=True)
     full = results["full"]
+    if "--argmax-ab" in sys.argv:
+        print(json.dumps({"summary": {
+            "full_jnp_argmax_ms": round(full, 3),
+            "fast_argmax_ms": round(results["fast_argmax"], 3),
+            "no_argmax_ms": round(results["no_argmax"], 3),
+            "fast_vs_jnp_ms": round(results["fast_argmax"] - full, 3),
+        }}), flush=True)
+        return
     print(json.dumps({
         "summary": {
             "full_ms": round(full, 3),

@@ -36,7 +36,10 @@ What is measured, per eps, all through kjarni_tpu.generate.SpeculativeGenerator
   spec tok/s   — wall clock of gen.generate for MAX_NEW greedy tokens
   plain tok/s  — target-only fused greedy scan, same prompt/length/protocol
   greedy parity — spec token stream == target-only stream (the speculative
-                 decoding invariant), asserted before timing
+                 decoding invariant), asserted before timing; on TPU the
+                 k-token verify matmul accumulates differently than the
+                 1-token decode matmul, so ONE provable near-tie argmax
+                 flip (top-2 gap < TIE_MARGIN, recomputed) is tolerated
 
 Geometry matches scripts/speculative_bench.py (target 2048x16L ~1.1B bf16,
 draft 1024x8L ~0.2B, V=128256) so the round-cost decomposition banked in
@@ -252,6 +255,53 @@ def plain_greedy(shell, ids, max_new):
     return out
 
 
+TIE_MARGIN = 0.05  # f32 logit gap below which an argmax flip is a numeric tie
+
+
+def top2_at(shell, ids):
+    """Target's top-2 (tokens, margin) after `ids`, via a fresh prefill."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kjarni_tpu.core.bucketing import seq_bucket
+
+    shell.reset()
+    ck, cv = shell._ensure_cache()
+    bucket = seq_bucket(len(ids), shell.max_context)
+    padded = np.zeros((1, bucket), dtype=np.int32)
+    padded[0, :len(ids)] = ids
+    logits, ck, cv = shell._prefill(shell.params, ck, cv,
+                                    jnp.asarray(padded), len(ids) - 1)
+    shell._cache = (ck, cv)
+    lg = np.asarray(logits, np.float32)
+    order = np.argsort(lg)[-2:][::-1]
+    return [int(order[0]), int(order[1])], float(lg[order[0]] - lg[order[1]])
+
+
+def check_greedy_parity(target, prompt, ref, spec_toks):
+    """Spec greedy == target greedy, up to ONE near-tie argmax flip.
+
+    The speculative invariant is exact only under deterministic logits; on
+    TPU the k-token verify matmul accumulates in a different order than the
+    one-token decode matmul, so bf16 near-ties can argmax-flip (observed at
+    1B geometry: ...27,1954,27,2030 vs ...27,2030,27,1954). At the first
+    divergence we recompute the target's logits at that prefix and demand
+    both candidates be the top-2 within TIE_MARGIN — a real divergence
+    (wrong verify math) shows a large margin and still fails loudly. After a
+    tie flip the histories differ, so comparison stops there.
+    """
+    div = next((i for i, (a, b) in enumerate(zip(spec_toks, ref))
+                if a != b), None)
+    assert len(spec_toks) >= 1
+    if div is None:
+        return {"parity": "exact"}
+    cands, margin = top2_at(target, list(prompt) + ref[:div])
+    assert {spec_toks[div], ref[div]} == set(cands) and margin < TIE_MARGIN, (
+        f"greedy parity broken at token {div}: spec={spec_toks[div]} "
+        f"ref={ref[div]} top2={cands} margin={margin:.4f}")
+    return {"parity": f"tie@{div}", "tie_margin": round(margin, 4)}
+
+
 def main():
     tiny = "--tiny" in sys.argv
     if tiny:
@@ -296,9 +346,9 @@ def main():
         gen = SpeculativeGenerator(target, draft, num_tokens=K)
         out = gen.generate(token_ids=prompt, config=gen_cfg)
         spec_toks = [int(t) for t in out.split()]
-        assert spec_toks == ref[:len(spec_toks)] and len(spec_toks) >= 1, \
-            f"greedy parity broken at eps={eps}: {spec_toks[:8]} vs {ref[:8]}"
         acc = gen.last_acceptance_rate
+        parity = check_greedy_parity(target, prompt, ref, spec_toks)
+        target.reset()
 
         # timing: warm pass above compiled everything; min of 3 cold-cache runs
         def timed(fn, reset_all):
@@ -319,7 +369,8 @@ def main():
                "plain_tok_s": round(max_new / t_plain, 1),
                "speedup": round((len(spec_toks) / t_spec) /
                                 (max_new / t_plain), 3),
-               "tokens": len(spec_toks), "rounds": gen.last_rounds}
+               "tokens": len(spec_toks), "rounds": gen.last_rounds,
+               **parity}
         rows.append(row)
         print(json.dumps(row), flush=True)
         del t_params, target
