@@ -39,7 +39,8 @@ What is measured, per eps, all through kjarni_tpu.generate.SpeculativeGenerator
                  decoding invariant), asserted before timing; on TPU the
                  k-token verify matmul accumulates differently than the
                  1-token decode matmul, so ONE provable near-tie argmax
-                 flip (top-2 gap < TIE_MARGIN, recomputed) is tolerated
+                 flip (both streams' tokens within TIE_MARGIN of the
+                 recomputed max) is tolerated
 
 Geometry matches scripts/speculative_bench.py (target 2048x16L ~1.1B bf16,
 draft 1024x8L ~0.2B, V=128256) so the round-cost decomposition banked in
@@ -258,8 +259,8 @@ def plain_greedy(shell, ids, max_new):
 TIE_MARGIN = 0.05  # f32 logit gap below which an argmax flip is a numeric tie
 
 
-def top2_at(shell, ids):
-    """Target's top-2 (tokens, margin) after `ids`, via a fresh prefill."""
+def logits_at(shell, ids):
+    """Target's full f32 logit row after `ids`, via a fresh prefill."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -273,9 +274,7 @@ def top2_at(shell, ids):
     logits, ck, cv = shell._prefill(shell.params, ck, cv,
                                     jnp.asarray(padded), len(ids) - 1)
     shell._cache = (ck, cv)
-    lg = np.asarray(logits, np.float32)
-    order = np.argsort(lg)[-2:][::-1]
-    return [int(order[0]), int(order[1])], float(lg[order[0]] - lg[order[1]])
+    return np.asarray(logits, np.float32)
 
 
 def check_greedy_parity(target, prompt, ref, spec_toks):
@@ -283,23 +282,36 @@ def check_greedy_parity(target, prompt, ref, spec_toks):
 
     The speculative invariant is exact only under deterministic logits; on
     TPU the k-token verify matmul accumulates in a different order than the
-    one-token decode matmul, so bf16 near-ties can argmax-flip (observed at
-    1B geometry: ...27,1954,27,2030 vs ...27,2030,27,1954). At the first
-    divergence we recompute the target's logits at that prefix and demand
-    both candidates be the top-2 within TIE_MARGIN — a real divergence
-    (wrong verify math) shows a large margin and still fails loudly. After a
-    tie flip the histories differ, so comparison stops there.
+    one-token decode matmul, so bf16 near-ties can argmax-flip. With random
+    hash weights the logit landscape near the max is nearly FLAT (measured:
+    dozens of tokens within 1e-4 of the max at 1B geometry, and a third
+    recomputation under the prefill shape argmaxes a different near-tied
+    token than either stream) — so at the first divergence we recompute the
+    target's logits at that prefix and demand BOTH streams' tokens sit
+    inside the near-tie band of the recomputed max (gap < TIE_MARGIN). A
+    real divergence (wrong verify math, e.g. a token the target never
+    ranked) shows a large gap and still fails loudly. After a tie flip the
+    histories differ, so comparison stops there.
     """
+    import numpy as np
+
     div = next((i for i, (a, b) in enumerate(zip(spec_toks, ref))
                 if a != b), None)
     assert len(spec_toks) >= 1
     if div is None:
         return {"parity": "exact"}
-    cands, margin = top2_at(target, list(prompt) + ref[:div])
-    assert {spec_toks[div], ref[div]} == set(cands) and margin < TIE_MARGIN, (
+    lg = logits_at(target, list(prompt) + ref[:div])
+    mx = float(lg.max())
+    gap_spec = mx - float(lg[spec_toks[div]])
+    gap_ref = mx - float(lg[ref[div]])
+    n_band = int(np.sum(lg >= mx - TIE_MARGIN))
+    assert gap_spec < TIE_MARGIN and gap_ref < TIE_MARGIN, (
         f"greedy parity broken at token {div}: spec={spec_toks[div]} "
-        f"ref={ref[div]} top2={cands} margin={margin:.4f}")
-    return {"parity": f"tie@{div}", "tie_margin": round(margin, 4)}
+        f"(gap {gap_spec:.4f}) ref={ref[div]} (gap {gap_ref:.4f}) vs "
+        f"recomputed max {mx:.4f} ({n_band} tokens in the tie band)")
+    return {"parity": f"tie@{div}",
+            "tie_gaps": [round(gap_spec, 4), round(gap_ref, 4)],
+            "tie_band_size": n_band}
 
 
 def main():
