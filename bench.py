@@ -117,6 +117,40 @@ def _device_hash_builders():
     return h8, hbf16
 
 
+def _device_fmix_bf16():
+    """A bf16 builder with full avalanche (murmur3 fmix32 finalizer).
+
+    The cheap single-multiply iota hash above is fine for THROUGHPUT
+    benches (bytes are bytes), but its extracted bit-window is strongly
+    correlated across strides: at llama vocab scale the lm_head columns
+    come out near-duplicated (measured on CPU: random column pairs with
+    |cos| up to 0.99999; thousands of logits tied within 0.05 of the max,
+    top-8 exactly equal) — which silently breaks any bench where ARGMAX
+    must be meaningful (greedy parity, speculative acceptance). Use this
+    builder wherever weight VALUES matter, not just bytes."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    def fmix_bf16(shape, salt, scale=0.02):
+        @partial(jax.jit, static_argnums=0)
+        def f(shape, salt, scale):
+            n = 1
+            for s in shape:
+                n *= s
+            i = jax.lax.iota(jnp.uint32, n) + salt * jnp.uint32(0x9E3779B9)
+            i = (i ^ (i >> 16)) * jnp.uint32(0x85EBCA6B)
+            i = (i ^ (i >> 13)) * jnp.uint32(0xC2B2AE35)
+            i = i ^ (i >> 16)
+            u = (i & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+            return ((u - 0.5) * (2 * scale)).astype(jnp.bfloat16).reshape(
+                shape)
+        return f(tuple(shape), jnp.uint32(salt), scale)
+
+    return fmix_bf16
+
+
 def build_llama_bf16_device(geom_kwargs, rope_theta=500000.0, salt0=0):
     """Random bf16 llama params synthesized ON DEVICE (plain, unquantized
     layout: {"w": bf16 [L,K,N]} per projection). See

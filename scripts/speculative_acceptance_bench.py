@@ -50,7 +50,20 @@ predicts these end-to-end numbers — the bench tests that prediction.
 Cf. /root/reference/crates/kjarni-transformers/src/cpu/decoder/speculation.rs:42
 (the reference's draft/verify loop; it publishes no acceptance numbers either).
 
-Run: python scripts/speculative_acceptance_bench.py          (TPU, ~5 min)
+Dtype: `--f32` runs both models in f32. This is the mode that produces a
+MEANINGFUL acceptance number on TPU: measured in bf16 at 1B geometry the
+hash-random logit landscape is nearly flat at the max (~2000 tokens within
+0.05 of it), so the verify-vs-decode accumulation-order difference argmax-
+flips constantly — acceptance read 0.248 at eps=0 where the construction
+guarantees ~1.0, i.e. the measurement was numeric noise, not disagreement
+(tpu run 2026-08-20, tie_band_size 1966-3463). In f32 the reassociation
+noise (~1e-6) sits far below the top-2 gaps, so acceptance measures the
+CONSTRUCTION. Throughput in f32 is not the product's bf16 number — the
+round-cost decomposition in scripts/speculative_bench.py stays the perf
+receipt; this bench's deliverable is acceptance and the speedup RATIO at
+that acceptance (both arms share the dtype).
+
+Run: python scripts/speculative_acceptance_bench.py --f32    (TPU, ~5 min)
      python scripts/speculative_acceptance_bench.py --tiny   (CPU smoke)
 """
 
@@ -170,7 +183,8 @@ class LMShell:
         self.params = params
         self.stop_token_ids: set = set()
         self.max_context = max_context
-        self._cache_dtype = jnp.bfloat16
+        # caches follow the weights' dtype (--f32 mode casts the params)
+        self._cache_dtype = params["embed"].dtype
         self._cache = None
         self._session_ids: list = []
         self._kv_bucket_step = 512
@@ -316,6 +330,7 @@ def check_greedy_parity(target, prompt, ref, spec_toks):
 
 def main():
     tiny = "--tiny" in sys.argv
+    f32 = "--f32" in sys.argv
     if tiny:
         # the image's sitecustomize pins the axon TPU platform; the smoke
         # test must not queue behind whatever holds the single real chip
@@ -341,6 +356,20 @@ def main():
         ctx, p_len, max_new = 2048, PROMPT_LEN, MAX_NEW
 
     d_cfg, d_params = build_llama_bf16_device(d_kwargs, salt0=1)
+    # the throughput builders' single-multiply iota hash emits NEAR-DUPLICATE
+    # lm_head columns at llama vocab scale (measured: 1249 logits tied within
+    # 0.05 of the max, top gap exactly 0.0) — greedy acceptance over tied
+    # logits is a coin flip, which is what the first TPU run of this bench
+    # measured (acceptance 0.248 at eps=0). Rebuild the lm_head with the
+    # fully-avalanched fmix32 builder: top-2 gap ~0.012, 2 tokens in the
+    # band — far above bf16 accumulation noise, so argmax is meaningful.
+    from bench import _device_fmix_bf16
+    d_params["lm_head"] = _device_fmix_bf16()(
+        tuple(d_params["lm_head"].shape), 118)
+    if f32:
+        import jax
+        import jax.numpy as jnp
+        d_params = jax.tree.map(lambda x: x.astype(jnp.float32), d_params)
     rng = np.random.default_rng(11)
     prompt = [int(t) for t in rng.integers(1, d_cfg.vocab_size, p_len)]
     gen_cfg = GenerationConfig.greedy(max_new_tokens=max_new,
@@ -349,6 +378,9 @@ def main():
     rows = []
     for eps in EPS_SWEEP:
         t_cfg, t_params = build_embedded_target(d_cfg, d_params, eps)
+        if f32:
+            t_params = jax.tree.map(lambda x: x.astype(jnp.float32),
+                                    t_params)
         target = LMShell(t_cfg, t_params, max_context=ctx)
         draft = LMShell(d_cfg, d_params, max_context=ctx)
 
@@ -376,7 +408,8 @@ def main():
                        lambda: (target.reset(), draft.reset()))
         t_plain = timed(lambda: plain_greedy(target, prompt, max_new),
                         target.reset)
-        row = {"eps": eps, "acceptance": round(acc, 4),
+        row = {"eps": eps, "dtype": "f32" if f32 else "bf16",
+               "acceptance": round(acc, 4),
                "spec_tok_s": round(len(spec_toks) / t_spec, 1),
                "plain_tok_s": round(max_new / t_plain, 1),
                "speedup": round((len(spec_toks) / t_spec) /
@@ -385,7 +418,10 @@ def main():
                **parity}
         rows.append(row)
         print(json.dumps(row), flush=True)
-        del t_params, target
+        # drop EVERYTHING that pins this iteration's ~2-4 GB target before
+        # the next eps builds its own (gen holds target+draft; leaving it
+        # bound across the build OOMed the f32 run on a 16 GB v5e)
+        del t_params, target, draft, gen, ref, spec_toks
     # E(a) sanity: acceptance must decrease along the sweep
     accs = [r["acceptance"] for r in rows]
     print(json.dumps({"sweep_monotone_nonincreasing":
