@@ -84,6 +84,28 @@ def test_eps_dials_acceptance_down(draft):
     assert gen1.last_acceptance_rate < gen0.last_acceptance_rate - 0.3
 
 
+def test_fmix_builder_decorrelates_lm_head_columns():
+    """The acceptance bench replaces the throughput builders' lm_head with
+    the fmix32 builder because the single-multiply iota hash emits
+    near-duplicate vocab columns at stride V (measured at llama scale:
+    top-8 logits exactly tied, |cos| up to 0.99999 between random columns).
+    Pin the property the bench depends on: distinct fmix columns are
+    decorrelated and a random hidden state produces an untied argmax."""
+    from bench import _device_fmix_bf16
+
+    hid, v = 64, 4096
+    w = np.asarray(_device_fmix_bf16()((hid, v), 118), np.float32)
+    rng = np.random.default_rng(0)
+    cols = w[:, rng.choice(v, 400, replace=False)].T
+    cols /= np.linalg.norm(cols, axis=1, keepdims=True)
+    cos = cols @ cols.T
+    np.fill_diagonal(cos, 0.0)
+    assert np.abs(cos).max() < 0.9, "fmix lm_head columns are near-duplicates"
+    logits = rng.normal(0, 1.0, hid).astype(np.float32) @ w
+    top = np.sort(logits)[::-1]
+    assert top[0] - top[1] > 1e-4, "fmix argmax is tied"
+
+
 def test_target_config_doubles_geometry(draft):
     d_cfg, d_params = draft
     t_cfg, t_params = sab.build_embedded_target(d_cfg, d_params, 0.5)
